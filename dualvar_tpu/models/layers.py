@@ -1,0 +1,179 @@
+"""Shared building blocks for 3D-CNN video backbones.
+
+All tensors are channels-last ``(B, T, H, W, C)`` — the layout XLA tiles best
+onto the TPU MXU for `lax.conv_general_dilated`. The reference operates in
+torch's ``(B, C, T, H, W)``; the public drivers transpose once at the device
+boundary.
+
+BatchNorm note: the reference wraps every model in SyncBatchNorm under DDP
+(reference: pretrain.py:244, classifier.py:221) so batch statistics are
+global-batch statistics. Here the whole train step runs with global semantics
+under ``jax.jit`` over a sharded batch, so a plain mean over the batch axis
+*is* the global mean — XLA inserts the cross-replica reduction. SyncBN
+therefore needs no special code; we use flax.linen.BatchNorm directly with
+torch-parity hyperparameters (momentum 0.9 flax == 0.1 torch, eps 1e-5).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Triple = tuple[int, int, int]
+
+
+def _triple(x) -> Triple:
+    if isinstance(x, (tuple, list)):
+        assert len(x) == 3
+        return tuple(x)
+    return (x, x, x)
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Conv3d default: kaiming_uniform(a=sqrt(5)) over fan_in.
+
+    flax kernel shape is (kt, kh, kw, in_ch, out_ch); fan_in = kt*kh*kw*in_ch.
+    With a=sqrt(5): gain = sqrt(2/(1+5)) = 1/sqrt(3); bound = sqrt(3)*gain/sqrt(fan_in)
+    = 1/sqrt(fan_in).
+    """
+    fan_in = shape[0] * shape[1] * shape[2] * shape[3]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kaiming_normal_fanout_init(key, shape, dtype=jnp.float32):
+    """torch kaiming_normal_(mode='fan_out') for conv kernels (resnet_2d3d.py:224)."""
+    fan_out = shape[0] * shape[1] * shape[2] * shape[4]
+    std = math.sqrt(2.0 / fan_out)
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def normal_init(std: float = 0.01):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class Conv3d(nn.Module):
+    """3D convolution on (B, T, H, W, C), mirroring torch.nn.Conv3d semantics.
+
+    kernel/stride/padding are torch-style ints or (t, h, w) triples; padding is
+    symmetric zero padding. Compute runs in ``dtype`` (bf16 on TPU for speed),
+    parameters are stored in ``param_dtype``.
+    """
+
+    features: int
+    kernel_size: Any = 3
+    stride: Any = 1
+    padding: Any = 0
+    use_bias: bool = True
+    kernel_init: Callable | None = None  # default: torch conv init
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ks = _triple(self.kernel_size)
+        st = _triple(self.stride)
+        pd = _triple(self.padding)
+        in_ch = x.shape[-1]
+        kshape = (*ks, in_ch, self.features)
+        kinit = self.kernel_init or torch_conv_kernel_init
+        kernel = self.param("kernel", kinit, kshape, self.param_dtype)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=st,
+            padding=[(pd[0], pd[0]), (pd[1], pd[1]), (pd[2], pd[2])],
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        )
+        if self.use_bias:
+            fan_in = ks[0] * ks[1] * ks[2] * in_ch
+            bias = self.param(
+                "bias", torch_conv_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class BatchNorm(nn.Module):
+    """torch-parity BatchNorm over (B, T, H, W) with running stats.
+
+    Under jit with a batch sharded on the 'data' mesh axis this computes
+    *global*-batch moments (SyncBN semantics, reference pretrain.py:244).
+    """
+
+    momentum: float = 0.9  # flax convention == torch momentum 0.1
+    epsilon: float = 1e-5
+    use_running_average: bool | None = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool | None = None) -> Array:
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        norm = nn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="bn",
+        )
+        return norm(x)
+
+
+def max_pool3d(x: Array, kernel_size, stride=None, padding=0) -> Array:
+    """torch.nn.MaxPool3d on (B, T, H, W, C)."""
+    ks = _triple(kernel_size)
+    st = _triple(stride if stride is not None else kernel_size)
+    pd = _triple(padding)
+    return nn.max_pool(
+        x,
+        window_shape=ks,
+        strides=st,
+        padding=[(pd[0], pd[0]), (pd[1], pd[1]), (pd[2], pd[2])],
+    )
+
+
+def avg_pool3d(x: Array, kernel_size, stride=None, padding=0) -> Array:
+    ks = _triple(kernel_size)
+    st = _triple(stride if stride is not None else kernel_size)
+    pd = _triple(padding)
+    return nn.avg_pool(
+        x,
+        window_shape=ks,
+        strides=st,
+        padding=[(pd[0], pd[0]), (pd[1], pd[1]), (pd[2], pd[2])],
+    )
+
+
+def global_avg_pool3d(x: Array) -> Array:
+    """AdaptiveAvgPool3d((1,1,1)): (B, T, H, W, C) -> (B, C)."""
+    return jnp.mean(x, axis=(1, 2, 3))
+
+
+def l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
+    """torch F.normalize parity: x / max(||x||, eps)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)

@@ -1,0 +1,29 @@
+"""Test harness configuration.
+
+Forces the CPU platform with 8 virtual XLA devices — the JAX-native
+replacement for a multi-node cluster (SURVEY.md §4) — and a persistent
+compilation cache so repeat test runs skip XLA compiles.
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on (virtual multi-)CPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)

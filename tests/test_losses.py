@@ -1,0 +1,110 @@
+"""Loss parity against the torch reference.
+
+Golden inputs (tests/goldens/g_*.npy) and expected values were produced by
+running the reference loss methods on CPU with float64 inputs:
+SimCLR_TimeSeriesV4.calc_clip_contrast_loss / calc_tc_contrast_loss /
+calc_ranking_loss (model/simclr.py:183-337) and
+MoCo_TimeSeriesV4.calc_clip_contrast_loss / calc_tc_contrast_loss /
+calc_ranking_loss (model/moco.py:404-480), with T=0.07, aligned_T=0.11,
+theta=0.05, n_series=3, series_dim=5. Float64 comparison pins semantics to
+1e-8; float32 runs are also checked at a rounding tolerance.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualvar_tpu.models.ssl import losses as L
+
+G = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _load(name):
+    return np.load(os.path.join(G, name))
+
+
+@pytest.fixture
+def x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def test_nt_xent_golden_f64(x64):
+    f = jnp.array(_load("g_ntxent_in.npy"), jnp.float64)
+    r = L.nt_xent_loss(f, 0.07)
+    assert abs(float(r["clip_contrast_loss"]) - 2.5256540821) < 1e-8
+    # logits: col 0 positive, 8 rows (2 views x global batch 4)
+    assert r["clip_logits"].shape == (8, 9)
+    assert r["clip_labels"].shape == (8,)
+
+
+def test_nt_xent_f32_close():
+    f = jnp.array(_load("g_ntxent_in.npy"), jnp.float32)
+    r = L.nt_xent_loss(f, 0.07)
+    assert abs(float(r["clip_contrast_loss"]) - 2.52565) < 5e-3
+
+
+def test_tc_global_golden_f64(x64):
+    sf = jnp.array(_load("g_tc_in.npy"), jnp.float64)
+    r = L.tc_contrast_loss_global(sf, 0.11)
+    assert abs(float(r["tc_contrast_loss"]) - 3.4785968469) < 1e-8
+
+
+def test_shuffle_rank_golden_f64(x64):
+    pf = jnp.array(_load("g_rank_in.npy"), jnp.float64)
+    # SimCLR variant: exponent clipped at 5.0 (model/simclr.py:260)
+    r = L.shuffle_rank_loss(pf, 0.05, 0.5, "r_", clip_max=5.0)
+    assert abs(float(r["r_margin_contrast_loss"]) - 1.1121192997) < 1e-8
+    # MoCo variant: no clipping (model/moco.py:469)
+    r = L.shuffle_rank_loss(pf, 0.05, 0.5, "r_", clip_max=None)
+    assert abs(float(r["r_margin_contrast_loss"]) - 2.6231011374) < 1e-6
+    # margin logits: (B*2s, 1+2s) = (24, 7); reference width is 2s-1=5 but
+    # columns beyond the valid ones are NEG_INF-masked and can't alter top-k.
+    assert r["r_margin_logits"].shape == (24, 7)
+
+
+def test_moco_clip_golden_f64(x64):
+    q = jnp.array(_load("g_moco_q.npy"), jnp.float64)
+    k = jnp.array(_load("g_moco_k.npy"), jnp.float64)
+    queue = jnp.array(_load("g_moco_queue.npy"), jnp.float64).T  # ours row-major
+    r = L.moco_contrast_loss(q, k, queue, 0.07)
+    assert abs(float(r["clip_contrast_loss"]) - 3.6123032569885254) < 1e-6
+    assert r["clip_logits"].shape == (4, 17)  # 1 + K
+
+
+def test_moco_tc_golden_f64(x64):
+    qs = jnp.array(_load("g_moco_qs.npy"), jnp.float64)
+    ks = jnp.array(_load("g_moco_ks.npy"), jnp.float64)
+    sq = jnp.array(_load("g_moco_sq.npy"), jnp.float64).T
+    r = L.moco_tc_contrast_loss(qs, ks, sq, 0.11)
+    assert abs(float(r["tc_contrast_loss"]) - 3.657632827758789) < 1e-6
+
+
+def test_topk_accuracy():
+    logits = jnp.array([[0.9, 0.1, 0.0], [0.1, 0.9, 0.0], [0.0, 0.1, 0.9]])
+    labels = jnp.array([0, 0, 2])
+    top1, top2 = L.topk_accuracy(logits, labels, (1, 2))
+    assert float(top1) == pytest.approx(2 / 3)
+    assert float(top2) == pytest.approx(1.0)
+
+
+def test_nt_xent_gradients_flow():
+    f = jnp.array(_load("g_ntxent_in.npy"), jnp.float32)
+
+    def loss(f):
+        return L.nt_xent_loss(f, 0.07)["clip_contrast_loss"]
+
+    g = jax.grad(loss)(f)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_shuffle_rank_masked_columns_never_win():
+    pf = jnp.array(_load("g_rank_in.npy"), jnp.float32)
+    r = L.shuffle_rank_loss(pf, 0.05, 0.5, "r_", clip_max=5.0)
+    top1 = L.topk_accuracy(r["r_margin_logits"], r["r_margin_labels"], (1,))[0]
+    assert 0.0 <= float(top1) <= 1.0
