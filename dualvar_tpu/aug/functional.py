@@ -1,0 +1,322 @@
+"""On-device video augmentation primitives.
+
+Capability parity with the reference's PIL/tensor augmentation stack
+(utils/augmentation.py, utils/transforms.py), redesigned as fused,
+jit-compiled tensor ops: every op takes a whole clip ``(T, H, W, C)``
+float32 in [0, 1] plus an explicit PRNG key and is branchless — random
+"apply with probability p" decisions become factor selection with
+``jnp.where``, so one compiled program covers every random outcome. The ops
+vmap over the batch and fuse into the input-normalisation epilogue on TPU
+(the reference runs PIL loops in dataloader workers: augmentation.py:587-652).
+
+Factor semantics follow torchvision's float-tensor functional ops, which the
+reference ColorJitter delegates to (augmentation.py:493-505):
+
+    brightness: img * f                       (clamped to [0,1])
+    contrast:   blend(img, mean(gray(img)), f)
+    saturation: blend(img, gray(img), f)
+    hue:        h channel rotated by f in HSV
+
+Deliberate divergence: GaussianBlur uses a true separable Gaussian taps
+kernel; PIL approximates a Gaussian with box blurs (augmentation.py:706-721).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# torchvision rgb_to_grayscale / reference utils/transforms.py:66 weights
+_GRAY_W = (0.2989, 0.587, 0.114)
+
+
+def to_float(clip_u8: Array) -> Array:
+    """uint8 [0,255] -> float32 [0,1] (ToTensor, augmentation.py:361-364)."""
+    return clip_u8.astype(jnp.float32) / 255.0
+
+
+def normalize(clip: Array, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> Array:
+    """Channel normalisation (utils/transforms.py:57; pretrain.py:280-282)."""
+    mean = jnp.asarray(mean, clip.dtype)
+    std = jnp.asarray(std, clip.dtype)
+    return (clip - mean) / std
+
+
+def grayscale(clip: Array) -> Array:
+    """Luminance, keepdims 1 channel."""
+    w = jnp.asarray(_GRAY_W, clip.dtype)
+    return jnp.sum(clip * w, axis=-1, keepdims=True)
+
+
+def _blend(a: Array, b: Array, ratio: Array) -> Array:
+    return jnp.clip(a * ratio + b * (1.0 - ratio), 0.0, 1.0)
+
+
+def adjust_brightness(clip: Array, factor: Array) -> Array:
+    """factor: scalar or (T,1,1,1). torchvision F.adjust_brightness."""
+    return _blend(clip, jnp.zeros_like(clip), factor)
+
+
+def adjust_contrast(clip: Array, factor: Array) -> Array:
+    """Per-frame gray mean (torchvision computes mean over the image)."""
+    mean = jnp.mean(grayscale(clip), axis=(-3, -2), keepdims=True)
+    return _blend(clip, mean, factor)
+
+
+def adjust_saturation(clip: Array, factor: Array) -> Array:
+    return _blend(clip, grayscale(clip), factor)
+
+
+def rgb_to_hsv(clip: Array) -> Array:
+    """Vectorized RGB->HSV, mirroring the reference's numpy port of PIL
+    (augmentation.py:26-65) which itself mirrors torchvision."""
+    r, g, b = clip[..., 0], clip[..., 1], clip[..., 2]
+    maxc = jnp.max(clip, axis=-1)
+    minc = jnp.min(clip, axis=-1)
+    eqc = maxc == minc
+    cr = maxc - minc
+    ones = jnp.ones_like(maxc)
+    s = cr / jnp.where(eqc, ones, maxc)
+    cr_div = jnp.where(eqc, ones, cr)
+    rc = (maxc - r) / cr_div
+    gc = (maxc - g) / cr_div
+    bc = (maxc - b) / cr_div
+    hr = jnp.where(maxc == r, bc - gc, 0.0)
+    hg = jnp.where((maxc == g) & (maxc != r), 2.0 + rc - bc, 0.0)
+    hb = jnp.where((maxc != g) & (maxc != r), 4.0 + gc - rc, 0.0)
+    h = jnp.mod((hr + hg + hb) / 6.0 + 1.0, 1.0)
+    return jnp.stack([h, s, maxc], axis=-1)
+
+
+def hsv_to_rgb(clip: Array) -> Array:
+    """Vectorized HSV->RGB (reference augmentation.py:67-88)."""
+    h, s, v = clip[..., 0], clip[..., 1], clip[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    i = i.astype(jnp.int32) % 6
+    p = jnp.clip(v * (1.0 - s), 0.0, 1.0)
+    q = jnp.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = jnp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    idx = i[..., None]
+    r = jnp.select(
+        [idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+        [v[..., None], q[..., None], p[..., None], p[..., None], t[..., None], v[..., None]],
+    )
+    g = jnp.select(
+        [idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+        [t[..., None], v[..., None], v[..., None], q[..., None], p[..., None], p[..., None]],
+    )
+    b = jnp.select(
+        [idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+        [p[..., None], p[..., None], t[..., None], v[..., None], v[..., None], q[..., None]],
+    )
+    return jnp.concatenate([r, g, b], axis=-1)
+
+
+def adjust_hue(clip: Array, factor: Array) -> Array:
+    """factor: scalar or (T,1,1,1) in [-0.5, 0.5]."""
+    hsv = rgb_to_hsv(clip)
+    h = jnp.mod(hsv[..., 0:1] + jnp.broadcast_to(factor, hsv[..., 0:1].shape), 1.0)
+    return hsv_to_rgb(jnp.concatenate([h, hsv[..., 1:]], axis=-1))
+
+
+# --------------------------------------------------------------------------
+# spatial ops
+# --------------------------------------------------------------------------
+
+def random_crop(key: Array, clip: Array, size: int) -> Array:
+    """Clip-consistent random crop (augmentation.py:149-175, n_seqblock=0)."""
+    T, H, W, C = clip.shape
+    ky, kx = jax.random.split(key)
+    y0 = jax.random.randint(ky, (), 0, H - size + 1)
+    x0 = jax.random.randint(kx, (), 0, W - size + 1)
+    return jax.lax.dynamic_slice(clip, (0, y0, x0, 0), (T, size, size, C))
+
+
+def center_crop(clip: Array, size: int) -> Array:
+    """augmentation.py:178-191 (int(round((d - size)/2)) origins)."""
+    T, H, W, C = clip.shape
+    y0 = int(round((H - size) / 2.0))
+    x0 = int(round((W - size) / 2.0))
+    return clip[:, y0 : y0 + size, x0 : x0 + size, :]
+
+
+def five_crop(clip: Array, size: int, where: int) -> Array:
+    """1=topleft 2=topright 3=botleft 4=botright 5=center
+    (augmentation.py:194-220)."""
+    T, H, W, C = clip.shape
+    if where == 1:
+        return clip[:, :size, :size, :]
+    if where == 2:
+        return clip[:, :size, W - size :, :]
+    if where == 3:
+        return clip[:, H - size :, :size, :]
+    if where == 4:
+        # reference crops (w-tw, h-tw, w, h): height origin uses tw
+        return clip[:, H - size :, W - size :, :]
+    return center_crop(clip, size)
+
+
+def hflip(clip: Array) -> Array:
+    return clip[:, :, ::-1, :]
+
+
+def random_hflip(key: Array, clip: Array, p: float = 0.5) -> Array:
+    """Whole-clip random flip (augmentation.py:314-341; consistent=False with
+    seq_len == clip length is one draw per clip)."""
+    do = jax.random.uniform(key) < p
+    return jnp.where(do, hflip(clip), clip)
+
+
+def resize(clip: Array, out_h: int, out_w: int, method: str = "bicubic") -> Array:
+    """Device-side resize (PIL Scale equivalent; augmentation.py:125-146 uses
+    BICUBIC). Host loaders may resize with PIL instead for exact parity."""
+    T, H, W, C = clip.shape
+    return jax.image.resize(clip, (T, out_h, out_w, C), method=method)
+
+
+def gaussian_blur(clip: Array, sigma: Array, taps: int = 13) -> Array:
+    """Separable Gaussian blur with traced sigma (shape-static taps).
+
+    Capability parity with augmentation.py:706-721 (one sigma per clip,
+    sigma ~ U[0.1, 2]); kernel is a true Gaussian rather than PIL's
+    box-blur approximation.
+    """
+    T, H, W, C = clip.shape
+    r = taps // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-6)) ** 2)
+    k = k / jnp.sum(k)
+    # horizontal then vertical, depthwise over channels; frames ride batch
+    # dim. Edge-replicate padding like PIL (zero padding would darken borders).
+    kh = jnp.broadcast_to(k.reshape(1, taps, 1, 1), (1, taps, 1, C))
+    kv = jnp.broadcast_to(k.reshape(taps, 1, 1, 1), (taps, 1, 1, C))
+    out = jnp.pad(clip, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        out, kh, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+    out = jax.lax.conv_general_dilated(
+        out, kv, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+    return out
+
+
+def random_gray_channel_split(key: Array, clip: Array, p: float = 0.8) -> Array:
+    """'RandomGray' — replicate one random channel over all three with prob p,
+    one draw per clip (augmentation.py:373-426, block=1 consistent)."""
+    kc, kp = jax.random.split(key)
+    ch = jax.random.randint(kc, (), 0, 3)
+    picked = jnp.take(clip, ch, axis=-1)[..., None]
+    gray = jnp.broadcast_to(picked, clip.shape)
+    do = jax.random.uniform(kp) < p
+    return jnp.where(do, gray, clip)
+
+
+def channel_mask(key: Array, clip: Array, p: float = 0.75) -> Array:
+    """Zero one random RGB channel with prob p, one draw per clip
+    (augmentation.py:663-703, block=1 consistent)."""
+    kf, = jax.random.split(key, 1)
+    randfloat = jax.random.uniform(kf)
+    rgb_ind = (randfloat * 100.0).astype(jnp.int32) // jnp.int32(100 * (p / 3.0)) - 1
+    rgb_ind = jnp.clip(rgb_ind, 0, 2)
+    mask_on = randfloat >= (1.0 - p)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, clip.shape[-1]), 3)
+    keep = jnp.where(mask_on & (ch == rgb_ind), 0.0, 1.0)
+    return clip * keep
+
+
+# --------------------------------------------------------------------------
+# color jitter — the reference's consistent / per-frame / gradient-consistent
+# variants as factor tensors + a random op order
+# --------------------------------------------------------------------------
+
+_JITTER_RANGES = dict(brightness=0.8, contrast=0.8, saturation=0.8, hue=0.2)
+
+
+def sample_jitter_factors(
+    key: Array,
+    seq_len: int,
+    brightness: float = 0.8,
+    contrast: float = 0.8,
+    saturation: float = 0.8,
+    hue: float = 0.2,
+    mode: str = "consistent",
+) -> dict[str, Array]:
+    """Per-frame factor vectors, shape (T,).
+
+    mode: 'consistent' — one draw per clip (augmentation.py:596 with
+    n_seqblock == seq_len); 'frame' — fresh draw per frame (consistent=False);
+    'grad' — linear ramp from a start to an end draw (grad_consistent,
+    augmentation.py:512-525).
+    """
+    kb, kc, ks, kh = jax.random.split(key, 4)
+
+    def draw(k, lo, hi, n):
+        return jax.random.uniform(k, (n,), minval=lo, maxval=hi)
+
+    ranges = dict(
+        brightness=(max(0.0, 1 - brightness), 1 + brightness),
+        contrast=(max(0.0, 1 - contrast), 1 + contrast),
+        saturation=(max(0.0, 1 - saturation), 1 + saturation),
+        hue=(-hue, hue),
+    )
+    out = {}
+    for name, k in zip(("brightness", "contrast", "saturation", "hue"),
+                       (kb, kc, ks, kh)):
+        lo, hi = ranges[name]
+        if mode == "consistent":
+            f = jnp.broadcast_to(draw(k, lo, hi, 1), (seq_len,))
+        elif mode == "frame":
+            f = draw(k, lo, hi, seq_len)
+        elif mode == "grad":
+            ends = draw(k, lo, hi, 2)
+            f = jnp.linspace(ends[0], ends[1], seq_len)
+        else:
+            raise ValueError(mode)
+        out[name] = f
+    return out
+
+
+def color_jitter(
+    key: Array,
+    clip: Array,
+    brightness: float = 0.8,
+    contrast: float = 0.8,
+    saturation: float = 0.8,
+    hue: float = 0.2,
+    p: float = 0.8,
+    mode: str = "consistent",
+) -> Array:
+    """Reference ColorJitter (augmentation.py:429-652, block=1): with
+    probability ``p`` apply the four adjustments with random factors in a
+    random order; otherwise identity. Branchless: the no-apply case uses
+    identity factors.
+    """
+    k_apply, k_factors, k_order = jax.random.split(key, 3)
+    T = clip.shape[0]
+    f = sample_jitter_factors(k_factors, T, brightness, contrast, saturation,
+                              hue, mode)
+    apply = jax.random.uniform(k_apply) < p
+    ident = dict(brightness=1.0, contrast=1.0, saturation=1.0, hue=0.0)
+    factors = {
+        name: jnp.where(apply, f[name], ident[name]).reshape(T, 1, 1, 1)
+        for name in f
+    }
+    order = jax.random.permutation(k_order, 4)
+
+    ops = [
+        lambda c: adjust_brightness(c, factors["brightness"]),
+        lambda c: adjust_contrast(c, factors["contrast"]),
+        lambda c: adjust_saturation(c, factors["saturation"]),
+        lambda c: adjust_hue(c, factors["hue"]),
+    ]
+
+    def body(i, c):
+        return jax.lax.switch(order[i], ops, c)
+
+    return jax.lax.fori_loop(0, 4, body, clip)

@@ -1,0 +1,156 @@
+"""Composed augmentation pipelines mirroring the reference entry points.
+
+The reference composes per-clip PIL transform pipelines in the dataloader
+workers (pretrain.py:491-532, classifier.py:1006-1033) and picks one pipeline
+per clip with MultiRandomizedTransform weights (augmentation.py:782-810).
+Here each pipeline is a single branchless jitted function over a whole
+sample's frames: the host only decodes + resizes JPEGs; crops, flips, color
+jitter, blur and normalisation run fused on device, vmapped over the batch.
+
+Pretrain pipeline weights (pretrain.py:523-527): view 1 gets the null
+(crop-only) pipeline with prob 0.2 and the full aug pipeline with prob 0.8;
+views 2 and 3 always get the full pipeline (the "base" and "same-series"
+pipelines are identical in the released code, pretrain.py:500-521).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import functional as F
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class AugConfig:
+    """Flags mirrored from the reference argparse groups (pretrain.py:114-126,
+    classifier.py:50-105)."""
+
+    img_dim: int = 112
+    seq_len: int = 16
+    aug_temp_consist: bool = True  # --aug_temp_consist
+    aug_temp_grad_consist: bool = False  # latent --aug_temp_grad_consist
+    with_color_jitter: bool = True  # classifier --with_color_jitter
+    rand_flip: bool = False  # classifier spatial flip (classifier.py:1016)
+    normalize: bool = True
+
+    @property
+    def jitter_mode(self) -> str:
+        if self.aug_temp_grad_consist:
+            return "grad"
+        return "consistent" if self.aug_temp_consist else "frame"
+
+
+def _finish(clip: Array, cfg: AugConfig) -> Array:
+    if cfg.normalize:
+        clip = F.normalize(clip)
+    return clip
+
+
+def _augmented_clip(key: Array, clip: Array, cfg: AugConfig, use_aug) -> Array:
+    """crop -> [jitter p=.8 outer] -> [blur p=.5]; `use_aug` gates the two
+    random applies (the null pipeline is crop-only, pretrain.py:493-497)."""
+    k_crop, k_jit_on, k_jit, k_blur_on, k_sig = jax.random.split(key, 5)
+    clip = F.random_crop(k_crop, clip, cfg.img_dim)
+    jit_on = use_aug & (jax.random.uniform(k_jit_on) < 0.8)
+    jittered = F.color_jitter(k_jit, clip, 0.8, 0.8, 0.8, 0.2, p=0.8,
+                              mode=cfg.jitter_mode)
+    clip = jnp.where(jit_on, jittered, clip)
+    blur_on = use_aug & (jax.random.uniform(k_blur_on) < 0.5)
+    sigma = jax.random.uniform(k_sig, minval=0.1, maxval=2.0)
+    clip = jnp.where(blur_on, F.gaussian_blur(clip, sigma), clip)
+    return clip
+
+
+def pretrain_sample(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
+    """One pretrain sample: (n_views*T, H0, W0, C) uint8 ->
+    (n_views, T, img_dim, img_dim, C) float, normalised.
+
+    Views are the stage-prototype dataset's [clip1, clip2, clip1-again]
+    (dataset/local_dataset.py:291-292); each view gets an independent
+    pipeline draw (MultiRandomizedTransform, augmentation.py:795-810).
+    """
+    T = cfg.seq_len
+    n_views = frames_u8.shape[0] // T
+    clips = F.to_float(frames_u8).reshape(n_views, T, *frames_u8.shape[1:])
+    keys = jax.random.split(key, n_views + 1)
+    out = []
+    for v in range(n_views):
+        # view 0: null pipeline with prob 0.2 (pretrain.py:523-527)
+        use_aug = (
+            jax.random.uniform(keys[n_views]) < 0.8 if v == 0
+            else jnp.bool_(True)
+        )
+        out.append(_finish(_augmented_clip(keys[v], clips[v], cfg, use_aug), cfg))
+    return jnp.stack(out)
+
+
+def classifier_train_sample(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
+    """Finetune/linear-probe train pipeline (classifier.py:1007-1020):
+    crop -> [whole-clip flip] -> [consistent jitter p=.8]."""
+    clip = F.to_float(frames_u8)
+    k_crop, k_flip, k_jit = jax.random.split(key, 3)
+    clip = F.random_crop(k_crop, clip, cfg.img_dim)
+    if cfg.rand_flip:
+        clip = F.random_hflip(k_flip, clip, 0.5)
+    if cfg.with_color_jitter:
+        clip = F.color_jitter(k_jit, clip, 0.8, 0.8, 0.8, 0.2, p=0.8,
+                              mode="consistent")
+    return _finish(clip, cfg)
+
+
+def eval_sample(frames_u8: Array, cfg: AugConfig) -> Array:
+    """val/test pipeline (classifier.py:1022-1029): center crop only."""
+    return _finish(F.center_crop(F.to_float(frames_u8), cfg.img_dim), cfg)
+
+
+def tencrop_sample(frames_u8: Array, cfg: AugConfig, where: int, flip: bool) -> Array:
+    """Multi-crop test pipeline (classifier.py:589-600): optional flip then
+    one of the five crops."""
+    clip = F.to_float(frames_u8)
+    if flip:
+        clip = F.hflip(clip)
+    return _finish(F.five_crop(clip, cfg.img_dim, where), cfg)
+
+
+def tenclip_sample(frames_u8: Array, cfg: AugConfig) -> Array:
+    """Temporal-10-clip pipeline (classifier.py:683-695): per-clip center
+    crop. frames: (10*T, H0, W0, C) -> (10, T, dim, dim, C)."""
+    T = cfg.seq_len
+    clips = F.to_float(frames_u8).reshape(10, T, *frames_u8.shape[1:])
+    return jax.vmap(lambda c: _finish(F.center_crop(c, cfg.img_dim), cfg))(clips)
+
+
+# batched, jitted entry points --------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pretrain_batch(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
+    """(B, n_views*T, H0, W0, C) uint8 -> (B, n_views, T, d, d, C)."""
+    keys = jax.random.split(key, frames_u8.shape[0])
+    return jax.vmap(lambda k, f: pretrain_sample(k, f, cfg))(keys, frames_u8)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def classifier_train_batch(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
+    keys = jax.random.split(key, frames_u8.shape[0])
+    return jax.vmap(lambda k, f: classifier_train_sample(k, f, cfg))(keys, frames_u8)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def eval_batch(frames_u8: Array, cfg: AugConfig) -> Array:
+    return jax.vmap(lambda f: eval_sample(f, cfg))(frames_u8)
+
+
+@partial(jax.jit, static_argnames=("cfg", "where", "flip"))
+def tencrop_batch(frames_u8: Array, cfg: AugConfig, where: int, flip: bool) -> Array:
+    return jax.vmap(lambda f: tencrop_sample(f, cfg, where, flip))(frames_u8)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def tenclip_batch(frames_u8: Array, cfg: AugConfig) -> Array:
+    return jax.vmap(lambda f: tenclip_sample(f, cfg))(frames_u8)

@@ -1,0 +1,283 @@
+"""Host-side input pipeline: frame decode workers + async device prefetch.
+
+The reference uses torch DataLoader worker *processes* running PIL decode and
+the whole PIL augmentation stack (utils/utils.py:297-311 FastDataLoader,
+dataset/local_dataset.py:145-164). Here the host only decodes JPEGs and
+resizes (PIL releases the GIL inside libjpeg, so a thread pool suffices);
+crops/jitter/blur/normalise run fused on device (dualvar_tpu.aug) and batches
+transfer as uint8 — 4x less PCIe/HBM traffic than float32.
+
+Datasets are index->numpy-sample callables; ``HostLoader`` adds seeded
+epoch shuffling, per-host sharding, a decode thread pool and a bounded
+prefetch queue; ``device_prefetch`` overlaps H2D copies with compute.
+
+``SyntheticFrameSource`` generates deterministic frames without any files —
+the CPU-runnable path used by tests and bench (BASELINE.json config #1).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+import numpy as np
+
+from . import samplers
+from .indices import ClassIndex, VideoEntry, load_class_index, load_split, shard_for_process
+
+try:  # PIL is a host-only dependency
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+# --------------------------------------------------------------------------
+# frame sources
+# --------------------------------------------------------------------------
+
+class JpegFrameSource:
+    """Reads ``{db_path}/{vname}/image_{i+1:05d}.jpg`` (reference
+    local_dataset.py:149-150) and resizes with PIL bicubic (the reference
+    Scale default, augmentation.py:126)."""
+
+    def __init__(self, db_path: str, scale: tuple[int, int] | int = (171, 128)):
+        # scale: (H, W) fixed resize, or int short-side resize
+        self.db_path = db_path
+        self.scale = scale
+
+    def __call__(self, vname: str, frame_indices: np.ndarray) -> np.ndarray:
+        frames = []
+        for i in frame_indices:
+            path = os.path.join(self.db_path, vname, f"image_{int(i) + 1:05d}.jpg")
+            with Image.open(path) as im:
+                im = im.convert("RGB")
+                if isinstance(self.scale, int):
+                    w, h = im.size
+                    if w < h:
+                        ow, oh = self.scale, int(self.scale * h / w)
+                    else:
+                        oh, ow = self.scale, int(self.scale * w / h)
+                    im = im.resize((ow, oh), Image.BICUBIC)
+                else:
+                    H, W = self.scale
+                    im = im.resize((W, H), Image.BICUBIC)
+                frames.append(np.asarray(im, dtype=np.uint8))
+        return np.stack(frames)
+
+
+class SyntheticFrameSource:
+    """Deterministic pseudo-video frames, no filesystem. Each video is a
+    moving colored gradient seeded by its name hash; same (vname, index)
+    always yields the same frame."""
+
+    def __init__(self, scale: tuple[int, int] = (171, 128)):
+        self.scale = scale
+
+    def __call__(self, vname: str, frame_indices: np.ndarray) -> np.ndarray:
+        H, W = self.scale
+        seed = abs(hash(vname)) % (2**31)
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        out = np.empty((len(frame_indices), H, W, 3), dtype=np.uint8)
+        for n, i in enumerate(frame_indices):
+            out[n] = np.roll(base, shift=int(i) * 3, axis=1)
+        return out
+
+
+def synthetic_entries(
+    n_videos: int, n_classes: int, min_len: int = 60, max_len: int = 300, seed: int = 0
+) -> tuple[list[VideoEntry], ClassIndex]:
+    rng = np.random.default_rng(seed)
+    classes = [f"class{c:03d}" for c in range(n_classes)]
+    entries = []
+    for v in range(n_videos):
+        c = classes[v % n_classes]
+        vlen = int(rng.integers(min_len, max_len))
+        name = f"{c}/video{v:05d}"
+        entries.append(VideoEntry(f"/synthetic/{name}/", vlen, c, name))
+    return entries, ClassIndex(classes)
+
+
+# --------------------------------------------------------------------------
+# datasets: index -> numpy sample dict
+# --------------------------------------------------------------------------
+
+@dataclass
+class PretrainDataset:
+    """Stage-prototype 3-view pretrain samples (reference
+    UCF101LMDB_2CLIP_Stage_Prototype, local_dataset.py:246-308)."""
+
+    entries: list[VideoEntry]
+    class_index: ClassIndex
+    source: Callable[[str, np.ndarray], np.ndarray]
+    num_frames: int = 16
+    ds: int = 4
+    rand_flip: bool = True
+    aug_series: bool = True
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        e = self.entries[index]
+        idx = samplers.stage_prototype_views(
+            rng, e.vlen, self.num_frames, self.ds, self.rand_flip, self.aug_series
+        )
+        return {
+            "frames": self.source(e.vname, idx),
+            "label": np.int32(self.class_index.encode(e.vlabel)),
+        }
+
+
+@dataclass
+class ClassifierDataset:
+    """Single-clip classification samples (reference UCF101LMDB,
+    local_dataset.py:176-201)."""
+
+    entries: list[VideoEntry]
+    class_index: ClassIndex
+    source: Callable[[str, np.ndarray], np.ndarray]
+    num_frames: int = 16
+    ds: int = 2
+    mode: str = "train"  # train | val | test
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        e = self.entries[index]
+        if self.mode == "test":
+            idx = samplers.frame_sampler_test(rng, e.vlen, self.num_frames, self.ds)
+            idx = idx[: self.num_frames]  # fixed-shape: first window
+        else:
+            idx = samplers.frame_sampler_train(rng, e.vlen, self.num_frames, self.ds)
+        return {
+            "frames": self.source(e.vname, idx),
+            "label": np.int32(self.class_index.encode(e.vlabel)),
+            "vid": np.int32(index),
+        }
+
+
+@dataclass
+class TenClipDataset:
+    """10 uniformly spaced clips per video (reference UCF101_10CLIP,
+    local_dataset.py:311-350)."""
+
+    entries: list[VideoEntry]
+    class_index: ClassIndex
+    source: Callable[[str, np.ndarray], np.ndarray]
+    num_frames: int = 16
+    ds: int = 2
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        e = self.entries[index]
+        idx = samplers.tenclip_sampler(e.vlen, self.num_frames, self.ds)
+        return {
+            "frames": self.source(e.vname, idx),
+            "label": np.int32(self.class_index.encode(e.vlabel)),
+            "vid": np.int32(index),
+        }
+
+
+# --------------------------------------------------------------------------
+# loader
+# --------------------------------------------------------------------------
+
+class HostLoader:
+    """Seeded, sharded, thread-pooled batch loader with bounded prefetch.
+
+    Equivalent role to FastDataLoader + DistributedSampler
+    (pretrain.py:550-556): per-epoch deterministic shuffle, per-host shard,
+    drop_last batching.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __len__(self):
+        n = len(shard_for_process(len(self.dataset), self.process_index,
+                                  self.process_count))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _sample(self, epoch: int, index: int) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, int(index)])
+        )
+        return self.dataset(int(index), rng)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict[str, np.ndarray]]:
+        order = shard_for_process(
+            len(self.dataset),
+            self.process_index,
+            self.process_count,
+            shuffle_seed=(self.seed + epoch) if self.shuffle else None,
+        )
+        nb = len(order) // self.batch_size if self.drop_last \
+            else -(-len(order) // self.batch_size)
+        batches = [
+            order[b * self.batch_size : (b + 1) * self.batch_size]
+            for b in range(nb)
+        ]
+        pending = []
+        bi = 0
+
+        def submit(b):
+            return [self.pool.submit(self._sample, epoch, i) for i in batches[b]]
+
+        while bi < min(self.prefetch, nb):
+            pending.append(submit(bi))
+            bi += 1
+        for b in range(nb):
+            futs = pending.pop(0)
+            if bi < nb:
+                pending.append(submit(bi))
+                bi += 1
+            samples = [f.result() for f in futs]
+            yield {
+                k: np.stack([s[k] for s in samples]) for k in samples[0]
+            }
+
+
+def device_prefetch(it: Iterator, size: int = 2) -> Iterator:
+    """Move batches to device ``size`` steps ahead of consumption."""
+    import jax
+
+    buf: list = []
+    it = iter(it)
+    try:
+        for _ in range(size):
+            buf.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.pop(0)
+        try:
+            buf.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield out

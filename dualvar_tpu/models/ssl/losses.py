@@ -41,10 +41,13 @@ def cross_entropy_from_logits(logits: Array, labels: Array) -> Array:
 
 def topk_accuracy(logits: Array, labels: Array, ks=(1, 5)) -> tuple[Array, ...]:
     """Reference utils/utils.py:75-92 calc_topk_accuracy."""
-    maxk = max(ks)
+    maxk = min(max(ks), logits.shape[-1])
     _, pred = jax.lax.top_k(logits, maxk)  # (B, maxk)
     correct = pred == labels[:, None]
-    return tuple(jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32)) for k in ks)
+    return tuple(
+        jnp.mean(jnp.any(correct[:, : min(k, maxk)], axis=1).astype(jnp.float32))
+        for k in ks
+    )
 
 
 def _loss_dict(prefix: str, logits: Array, loss: Array) -> dict[str, Array]:

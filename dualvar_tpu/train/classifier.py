@@ -1,0 +1,562 @@
+"""Downstream classification driver: finetune / linear-probe training,
+validation, multi-crop and temporal-10-clip test protocols, and k-NN video
+retrieval (reference classifier.py entry point).
+
+Modes (reference classifier.py:38-108 flags + :273-319 dispatch):
+  * train: finetune ('ft') or linear probe ('last' — backbone frozen, BN in
+    inference mode, reference classifier.py:240-253,435-438);
+  * test center/five/ten-crop (classifier.py:545-654 test_10crop);
+  * test temporal 10-clip (classifier.py:657-738 temporal_test_10clip);
+  * retrieval: 10-clip averaged features, centered + L2-normalised cosine
+    k-NN, R@{1,5,10,20,50} (classifier.py:787-995 test_retrieval).
+
+Usage:
+    python -m dualvar_tpu.train.classifier --preset smoke
+    python -m dualvar_tpu.train.classifier --preset smoke --test retrieval
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..aug.pipeline import (
+    AugConfig,
+    classifier_train_batch,
+    eval_batch,
+    tenclip_batch,
+    tencrop_batch,
+)
+from ..core.checkpoint import CheckpointStore, load_pretrained_backbone
+from ..core.config import CLASSIFIER_PRESETS, ClassifierConfig
+from ..core.logging import get_logger
+from ..core.mesh import batch_sharding, init_distributed, make_mesh, replicated
+from ..core.meters import AverageMeter, MeterBank, ProgressMeter
+from ..core.metrics_writer import MetricsWriter
+from ..data.indices import load_class_index, load_split
+from ..data.loader import (
+    ClassifierDataset,
+    HostLoader,
+    JpegFrameSource,
+    SyntheticFrameSource,
+    TenClipDataset,
+    synthetic_entries,
+)
+from ..models.backbones import select_backbone
+from ..models.heads import LinearClassifier
+from ..models.ssl.losses import cross_entropy_from_logits, topk_accuracy
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def build_model(cfg: ClassifierConfig) -> LinearClassifier:
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.model.dtype]
+    backbone, param = select_backbone(cfg.model.net, dtype=dtype)
+    return LinearClassifier(
+        backbone=backbone,
+        feature_size=param["feature_size"],
+        num_class=cfg.num_class,
+        dropout_rate=cfg.dropout,
+        use_dropout=cfg.use_dropout,
+        use_l2_norm=cfg.use_l2_norm,
+        use_final_bn=cfg.use_final_bn,
+        dtype=dtype,
+    )
+
+
+def make_optimizer(cfg: ClassifierConfig, steps_per_epoch: int):
+    """SGD + step decay at schedule epochs (classifier.py:998-1003: x0.1 at
+    each scheduled epoch)."""
+    o = cfg.optim
+    boundaries = {e * steps_per_epoch: 0.1 for e in o.schedule}
+    lr = optax.piecewise_constant_schedule(o.lr, boundaries)
+    if o.optim == "adam":
+        return optax.adamw(lr, weight_decay=o.wd), lr
+    tx = optax.chain(
+        optax.add_decayed_weights(o.wd),
+        optax.sgd(lr, momentum=o.momentum),
+    )
+    return tx, lr
+
+
+def make_train_step(model: LinearClassifier, tx, aug_cfg: AugConfig,
+                    train_what: str):
+    freeze_backbone = train_what == "last"
+
+    def train_step(state: TrainState, frames_u8, labels, key):
+        k_aug, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
+        clips = classifier_train_batch(k_aug, frames_u8, aug_cfg)
+
+        # linear probe: backbone frozen AND BN fully in inference mode
+        # (reference model.eval() when train_what == 'last', classifier.py:435-438)
+        bn_train = not freeze_backbone
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out = model.apply(
+                variables, clips, train=bn_train,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"] if bn_train else [],
+            )
+            (logit, _), updated = out if bn_train else (out, {})
+            loss = cross_entropy_from_logits(logit, labels)
+            return loss, (logit, updated.get("batch_stats", state.batch_stats))
+
+        (loss, (logit, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if freeze_backbone:
+            grads = grads.copy()
+            grads["backbone"] = jax.tree.map(jnp.zeros_like, grads["backbone"])
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        top1, top5 = topk_accuracy(logit, labels, (1, 5))
+        metrics = {"loss": loss, "top1": top1, "top5": top5}
+        return TrainState(step=state.step + 1, params=params,
+                          batch_stats=new_bs, opt_state=new_opt), metrics
+
+    return train_step
+
+
+def make_eval_step(model: LinearClassifier, aug_cfg: AugConfig):
+    @jax.jit
+    def eval_step(params, batch_stats, frames_u8, labels):
+        clips = eval_batch(frames_u8, aug_cfg)
+        logit, feat = model.apply(
+            {"params": params, "batch_stats": batch_stats}, clips, train=False
+        )
+        loss = cross_entropy_from_logits(logit, labels)
+        top1, top5 = topk_accuracy(logit, labels, (1, 5))
+        return {"loss": loss, "top1": top1, "top5": top5}
+
+    return eval_step
+
+
+def build_datasets(cfg: ClassifierConfig, mode: str):
+    d = cfg.data
+    if d.synthetic:
+        entries, class_index = synthetic_entries(
+            d.synthetic_videos, d.synthetic_classes
+        )
+        source = SyntheticFrameSource(scale=d.scale_hw)
+    else:
+        name = "hmdb51" if "hmdb" in d.dataset else (
+            "k400" if "k400" in d.dataset else "ucf101")
+        root = d.data_root or os.path.join("process_data", "data", name)
+        entries = load_split(root, mode=mode, which_split=d.which_split)
+        class_index = load_class_index(root)
+        source = JpegFrameSource(d.db_path, scale=d.scale_hw)
+    return entries, class_index, source
+
+
+def classifier_dataset(cfg: ClassifierConfig, mode: str) -> ClassifierDataset:
+    entries, class_index, source = build_datasets(cfg, mode)
+    return ClassifierDataset(
+        entries=entries, class_index=class_index, source=source,
+        num_frames=cfg.data.seq_len * cfg.data.num_seq, ds=cfg.data.ds,
+        mode=mode,
+    )
+
+
+def tenclip_dataset(cfg: ClassifierConfig, mode: str) -> TenClipDataset:
+    entries, class_index, source = build_datasets(cfg, mode)
+    return TenClipDataset(
+        entries=entries, class_index=class_index, source=source,
+        num_frames=cfg.data.seq_len, ds=cfg.data.ds,
+    )
+
+
+def set_path(cfg: ClassifierConfig) -> str:
+    """log/{prefix}/ft/{name}/{ucf|hmdb}/ layout (classifier.py:1087-1116)."""
+    fold = "hmdb" if "hmdb" in cfg.data.dataset else "ucf"
+    exp = os.path.join(cfg.run.log_root, cfg.run.prefix, "ft",
+                       cfg.run.name_prefix, fold)
+    if jax.process_index() == 0:
+        os.makedirs(os.path.join(exp, "model"), exist_ok=True)
+        os.makedirs(os.path.join(exp, "img"), exist_ok=True)
+    return exp
+
+
+def init_state(cfg: ClassifierConfig, model, tx, rng, logger):
+    example = jnp.zeros(
+        (1, cfg.data.seq_len, cfg.data.img_dim, cfg.data.img_dim, 3),
+        jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, example, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if cfg.run.pretrain:
+        pstore = CheckpointStore(cfg.run.pretrain)
+        pre = pstore.restore()
+        pre_vars = {"params": pre["params"], "batch_stats": pre["batch_stats"]}
+        grafted = load_pretrained_backbone(
+            {"params": params, "batch_stats": batch_stats}, pre_vars, logger
+        )
+        params, batch_stats = grafted["params"], grafted["batch_stats"]
+        logger.info(f"=> loaded pretrained checkpoint '{cfg.run.pretrain}'")
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=batch_stats, opt_state=tx.init(params),
+    )
+
+
+def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, float]:
+    init_distributed()
+    exp_path = set_path(cfg)
+    logger = get_logger(os.path.join(exp_path, "log"),
+                        process_index=jax.process_index())
+    logger.info(
+        f"Classifier to {cfg.num_class} classes with {cfg.model.net} backbone"
+    )
+    mesh = make_mesh()
+    model = build_model(cfg)
+    aug_cfg = AugConfig(
+        img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,
+        with_color_jitter=cfg.aug.with_color_jitter,
+        rand_flip=cfg.aug.rand_flip,
+    )
+
+    train_loader = HostLoader(
+        classifier_dataset(cfg, "train"), cfg.optim.batch_size,
+        shuffle=True, seed=cfg.run.seed, num_workers=cfg.data.workers,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    val_loader = HostLoader(
+        classifier_dataset(cfg, "val"), cfg.optim.batch_size,
+        shuffle=False, seed=cfg.run.seed, num_workers=cfg.data.workers,
+        drop_last=False,
+    )
+    steps_per_epoch = len(train_loader)
+    logger.info(f"=> Effective batch = {cfg.optim.batch_size * jax.process_count()}"
+                f"; {steps_per_epoch} steps/epoch")
+
+    tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    state = init_state(cfg, model, tx, rng, logger)
+    state = jax.device_put(state, replicated(mesh))
+    data_sh = batch_sharding(mesh)
+    train_step = jax.jit(
+        make_train_step(model, tx, aug_cfg, cfg.train_what),
+        donate_argnums=(0,),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    eval_step = make_eval_step(model, aug_cfg)
+
+    store = CheckpointStore(os.path.join(exp_path, "model"))
+    writer = (MetricsWriter(os.path.join(exp_path, "img", "train"))
+              if jax.process_index() == 0 else None)
+    start_epoch = cfg.optim.start_epoch
+    if cfg.run.resume:
+        last = store.latest_epoch()
+        if last is not None:
+            state = jax.device_put(
+                store.restore(last, template=jax.tree.map(np.asarray, state)),
+                replicated(mesh))
+            start_epoch = last + 1
+            logger.info(f"=> resumed from epoch {last}")
+
+    best_acc = 0.0
+    global_step = start_epoch * steps_per_epoch
+    final: dict[str, float] = {}
+    done = False
+    for epoch in range(start_epoch, cfg.optim.epochs):
+        meters = {k: AverageMeter(k, ":.4f") for k in ("loss", "top1", "top5")}
+        progress = ProgressMeter(
+            steps_per_epoch, list(meters.values()),
+            prefix=f"Epoch:[{epoch}/{cfg.optim.epochs}] "
+                   f"lr:{float(lr_fn(global_step)):.5f} ",
+            logger=logger)
+        tic = time.time()
+        for it, batch in enumerate(train_loader.epoch(epoch)):
+            frames = jax.device_put(batch["frames"], data_sh)
+            labels = jax.device_put(batch["label"], data_sh)
+            state, metrics = train_step(state, frames, labels, rng)
+            if (it + 1) % cfg.run.print_freq == 0 or it == steps_per_epoch - 1:
+                metrics = jax.device_get(metrics)
+                for k, m in meters.items():
+                    m.update(float(metrics[k]), cfg.optim.batch_size)
+                progress.display(it)
+                if writer:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"local/{k}", float(v), global_step)
+                final = {k: float(v) for k, v in metrics.items()}
+            global_step += 1
+            if max_steps is not None and global_step >= max_steps:
+                done = True
+                break
+        logger.info(f"train epoch [{epoch}] T-epoch:{time.time() - tic:.2f}")
+
+        if (epoch + 1) % cfg.run.eval_freq == 0 or done:
+            vb = MeterBank()
+            vm = {k: AverageMeter(k) for k in ("loss", "top1", "top5")}
+            for batch in val_loader.epoch(0):
+                m = jax.device_get(eval_step(
+                    state.params, state.batch_stats,
+                    jnp.asarray(batch["frames"]), jnp.asarray(batch["label"])))
+                for k in vm:
+                    vm[k].update(float(m[k]), len(batch["label"]))
+            val_acc = vm["top1"].avg
+            logger.info(
+                f"val Epoch: [{epoch}] Loss: {vm['loss'].avg:.4f} "
+                f"Acc@1: {val_acc:.4f} Acc@5: {vm['top5'].avg:.4f}")
+            if writer:
+                writer.add_scalar("val/top1", val_acc, epoch)
+            final["val_top1"] = val_acc
+            if jax.process_index() == 0:
+                best_acc = max(best_acc, val_acc)
+                store.save(epoch, jax.device_get(state), {"acc": val_acc})
+        if done:
+            break
+
+    if writer:
+        writer.close()
+    store.close()
+    return final
+
+
+# --------------------------------------------------------------------------
+# test protocols
+# --------------------------------------------------------------------------
+
+def _load_test_state(cfg: ClassifierConfig, model, logger):
+    rng = jax.random.PRNGKey(0)
+    example = jnp.zeros(
+        (1, cfg.data.seq_len, cfg.data.img_dim, cfg.data.img_dim, 3),
+        jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, example, train=True)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    if cfg.run.resume:  # path to a classifier checkpoint dir
+        store = CheckpointStore(cfg.run.resume)
+        state = store.restore(template={
+            "step": np.zeros((), np.int32), "params": params,
+            "batch_stats": batch_stats, "opt_state": None})
+        params, batch_stats = state["params"], state["batch_stats"]
+        logger.info(f"=> loaded test checkpoint '{cfg.run.resume}'")
+    elif cfg.run.pretrain:  # retrieval directly from a pretrain checkpoint
+        pstore = CheckpointStore(cfg.run.pretrain)
+        pre = pstore.restore()
+        grafted = load_pretrained_backbone(
+            {"params": params, "batch_stats": batch_stats},
+            {"params": pre["params"], "batch_stats": pre["batch_stats"]},
+            logger)
+        params, batch_stats = grafted["params"], grafted["batch_stats"]
+    else:
+        logger.info("[warning] testing with random init weights")
+    return params, batch_stats
+
+
+def test_multicrop(cfg: ClassifierConfig, protocol: str = "ten") -> dict[str, float]:
+    """center/five/ten-crop test (reference test_10crop, classifier.py:545-654):
+    average softmax probabilities over crop x flip combinations per video."""
+    exp_path = set_path(cfg)
+    logger = get_logger(os.path.join(exp_path, "test_log"),
+                        process_index=jax.process_index())
+    model = build_model(cfg)
+    params, batch_stats = _load_test_state(cfg, model, logger)
+    aug_cfg = AugConfig(img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len)
+    dataset = classifier_dataset(cfg, "test")
+    loader = HostLoader(dataset, cfg.optim.batch_size, shuffle=False,
+                        seed=0, num_workers=cfg.data.workers, drop_last=False)
+
+    aug_list = {"center": [5], "five": [5, 1, 2, 3, 4],
+                "ten": [5, 1, 2, 3, 4]}[protocol]
+    flip_list = [0, 1] if protocol == "ten" else [0]
+
+    # one compiled program per (where, flip) combination
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def step_for(where, flip):
+        def f(frames_u8):
+            clips = tencrop_batch(frames_u8, aug_cfg, where, bool(flip))
+            logit, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, clips,
+                train=False)
+            return jax.nn.softmax(logit, axis=-1)
+        return jax.jit(f)
+
+    prob_sum: dict[int, np.ndarray] = {}
+    prob_n: dict[int, int] = {}
+    labels_by_vid: dict[int, int] = {}
+    for flip in flip_list:
+        for where in aug_list:
+            logger.info(f"Aug type: {where}; flip: {flip}")
+            for batch in loader.epoch(0):
+                p = np.asarray(step_for(where, flip)(jnp.asarray(batch["frames"])))
+                for i, vid in enumerate(batch["vid"]):
+                    vid = int(vid)
+                    prob_sum[vid] = prob_sum.get(vid, 0.0) + p[i]
+                    prob_n[vid] = prob_n.get(vid, 0) + 1
+                    labels_by_vid[vid] = int(batch["label"][i])
+
+    mean_probs = np.stack([prob_sum[v] / prob_n[v] for v in sorted(prob_sum)])
+    labels = np.array([labels_by_vid[v] for v in sorted(prob_sum)])
+    top1 = float(np.mean(mean_probs.argmax(1) == labels))
+    top5 = float(np.mean([
+        l in np.argsort(-p)[:5] for p, l in zip(mean_probs, labels)]))
+    logger.info(f"{protocol}-crop: Mean: Acc@1: {top1:.4f} Acc@5: {top5:.4f}")
+    out = {"top1": top1, "top5": top5}
+    with open(os.path.join(exp_path, f"prob-{protocol}.json"), "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def test_temporal_tenclip(cfg: ClassifierConfig) -> dict[str, float]:
+    """Temporal 10-clip center-crop test (reference temporal_test_10clip,
+    classifier.py:657-738): per video, mean softmax over 10 uniform clips."""
+    exp_path = set_path(cfg)
+    logger = get_logger(os.path.join(exp_path, "temporal_10_test_log"),
+                        process_index=jax.process_index())
+    model = build_model(cfg)
+    params, batch_stats = _load_test_state(cfg, model, logger)
+    aug_cfg = AugConfig(img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len)
+    dataset = tenclip_dataset(cfg, "test")
+    loader = HostLoader(dataset, cfg.optim.batch_size, shuffle=False,
+                        seed=0, num_workers=cfg.data.workers, drop_last=False)
+
+    @jax.jit
+    def step(frames_u8):
+        clips = tenclip_batch(frames_u8, aug_cfg)  # (B, 10, T, d, d, C)
+        B = clips.shape[0]
+        flat = clips.reshape(B * 10, *clips.shape[2:])
+        logit, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, flat, train=False)
+        return jax.nn.softmax(logit, axis=-1).reshape(B, 10, -1).mean(axis=1)
+
+    probs, labels, classwise = [], [], {}
+    for batch in loader.epoch(0):
+        p = np.asarray(step(jnp.asarray(batch["frames"])))
+        probs.append(p)
+        labels.append(np.asarray(batch["label"]))
+    probs = np.concatenate(probs)
+    labels = np.concatenate(labels)
+    top1 = float(np.mean(probs.argmax(1) == labels))
+    top5 = float(np.mean([
+        l in np.argsort(-p)[:5] for p, l in zip(probs, labels)]))
+    logger.info(
+        f"temporal 10-clip: Mean: Acc@1: {top1:.4f} Acc@5: {top5:.4f}")
+    # classwise summary (reference summarize_classwise_probability,
+    # classifier.py:741-759)
+    for p, l in zip(probs, labels):
+        classwise.setdefault(int(l), []).append(int(p.argmax() == l))
+    class_acc = {int(k): float(np.mean(v)) for k, v in classwise.items()}
+    out = {"top1": top1, "top5": top5, "classwise": class_acc}
+    with open(os.path.join(exp_path, "prob-temporal_10_clip.json"), "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def extract_tenclip_features(cfg, model, params, batch_stats, mode, aug_cfg):
+    dataset = tenclip_dataset(cfg, mode)
+    loader = HostLoader(dataset, cfg.optim.batch_size, shuffle=False,
+                        seed=0, num_workers=cfg.data.workers, drop_last=False)
+
+    @jax.jit
+    def step(frames_u8):
+        clips = tenclip_batch(frames_u8, aug_cfg)
+        B = clips.shape[0]
+        flat = clips.reshape(B * 10, *clips.shape[2:])
+        _, feat = model.apply(
+            {"params": params, "batch_stats": batch_stats}, flat, train=False)
+        return feat.reshape(B, 10, -1).mean(axis=1)  # classifier.py:888-890
+
+    feats, labels = [], []
+    for batch in loader.epoch(0):
+        feats.append(np.asarray(step(jnp.asarray(batch["frames"]))))
+        labels.append(np.asarray(batch["label"]))
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
+    """k-NN video retrieval (reference test_retrieval, classifier.py:787-995)."""
+    exp_path = set_path(cfg)
+    logger = get_logger(os.path.join(exp_path, "test_retrieval_log"),
+                        process_index=jax.process_index())
+    model = build_model(cfg)
+    params, batch_stats = _load_test_state(cfg, model, logger)
+    aug_cfg = AugConfig(img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len)
+
+    test_f, test_l = extract_tenclip_features(
+        cfg, model, params, batch_stats, "test", aug_cfg)
+    train_f, train_l = extract_tenclip_features(
+        cfg, model, params, batch_stats, "train", aug_cfg)
+    logger.info(f"test {test_f.shape}, train {train_f.shape}")
+
+    feat_dir = os.path.join(exp_path, "feature")
+    os.makedirs(feat_dir, exist_ok=True)
+    np.save(os.path.join(feat_dir, "test_feature.npy"), test_f)
+    np.save(os.path.join(feat_dir, "train_feature.npy"), train_f)
+    np.save(os.path.join(feat_dir, "test_label.npy"), test_l)
+    np.save(os.path.join(feat_dir, "train_label.npy"), train_l)
+
+    # centering + L2 norm + cosine similarity (classifier.py:966-975)
+    test_f = test_f - test_f.mean(0, keepdims=True)
+    train_f = train_f - train_f.mean(0, keepdims=True)
+    test_f /= np.maximum(np.linalg.norm(test_f, axis=1, keepdims=True), 1e-12)
+    train_f /= np.maximum(np.linalg.norm(train_f, axis=1, keepdims=True), 1e-12)
+    sim = jnp.asarray(test_f) @ jnp.asarray(train_f).T
+    sim = np.asarray(sim)
+
+    out = {}
+    for k in (1, 5, 10, 20, 50):
+        kk = min(k, sim.shape[1])
+        topk = np.argsort(-sim, axis=1)[:, :kk]
+        hit = (train_l[topk] == test_l[:, None]).any(axis=1)
+        out[f"R@{k}"] = float(hit.mean())
+        logger.info(f"{k}NN acc = {out[f'R@{k}']:.4f}")
+    with open(os.path.join(feat_dir, "retrieval.json"), "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="smoke", choices=sorted(CLASSIFIER_PRESETS))
+    p.add_argument("--test", default="",
+                   choices=["", "center", "five", "ten", "temporal_ten_clip",
+                            "retrieval"])
+    p.add_argument("--train_what", default=None, choices=[None, "ft", "last"])
+    p.add_argument("--pretrain", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--db_path", default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    args = p.parse_args()
+    cfg = CLASSIFIER_PRESETS[args.preset]
+    if args.train_what:
+        cfg = dataclasses.replace(cfg, train_what=args.train_what)
+    if args.pretrain or args.resume:
+        cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+            cfg.run, pretrain=args.pretrain or cfg.run.pretrain,
+            resume=args.resume or cfg.run.resume))
+    if args.data_root or args.db_path:
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, data_root=args.data_root or cfg.data.data_root,
+            db_path=args.db_path or cfg.data.db_path, synthetic=False))
+
+    if args.test == "retrieval":
+        test_retrieval(cfg)
+    elif args.test == "temporal_ten_clip":
+        test_temporal_tenclip(cfg)
+    elif args.test in ("center", "five", "ten"):
+        test_multicrop(cfg, args.test)
+    else:
+        train(cfg, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

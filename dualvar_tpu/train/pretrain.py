@@ -1,0 +1,319 @@
+"""SSL pretraining driver (reference pretrain.py entry point).
+
+One jitted ``train_step`` fuses: uint8 batch -> on-device augmentation ->
+model forward (all losses) -> grads -> SGD update -> metric scalars. The
+batch is sharded over the mesh 'data' axis; parameters/optimizer/MoCo state
+are replicated — XLA's partitioner supplies what DDP + SyncBN + GatherLayer
+did in the reference (pretrain.py:244-253, utils/utils.py:321).
+
+Usage:
+    python -m dualvar_tpu.train.pretrain --preset smoke
+    python -m dualvar_tpu.train.pretrain --preset paper_table1_k400 \
+        --data_root ... --db_path ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..aug.pipeline import AugConfig, pretrain_batch
+from ..core.checkpoint import CheckpointStore
+from ..core.config import PRETRAIN_PRESETS, PretrainConfig
+from ..core.logging import get_logger
+from ..core.mesh import batch_sharding, init_distributed, make_mesh, replicated
+from ..core.meters import AverageMeter, MeterBank, ProgressMeter
+from ..core.metrics_writer import MetricsWriter
+from ..data.indices import load_class_index, load_split
+from ..data.loader import (
+    HostLoader,
+    JpegFrameSource,
+    PretrainDataset,
+    SyntheticFrameSource,
+    synthetic_entries,
+)
+from ..models.ssl.losses import topk_accuracy
+from .tasks import TaskState, make_task, total_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    moco: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: PretrainConfig, steps_per_epoch: int):
+    """SGD momentum 0.9 + decoupled-into-grad weight decay + MultiStepLR
+    gamma 0.1 (reference pretrain.py:272,328)."""
+    o = cfg.optim
+    boundaries = {e * steps_per_epoch: 0.1 for e in o.schedule}
+    lr = optax.piecewise_constant_schedule(o.lr, boundaries)
+    tx = optax.chain(
+        optax.add_decayed_weights(o.wd),
+        optax.sgd(lr, momentum=o.momentum),
+    )
+    return tx, lr
+
+
+def compute_metrics(ret: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    """Per-loss scalars + accuracies, mirroring the reference's dynamic meter
+    discovery (pretrain.py:404-445) with a static key set under jit."""
+    metrics: dict[str, jax.Array] = {}
+    for key, val in ret.items():
+        if not key.endswith("loss"):
+            continue
+        prefix = key.replace("contrast_loss", "").replace("loss", "").rstrip("_")
+        metrics[f"{prefix}_loss"] = val
+        for lk in (f"{prefix}_logits", f"{prefix}_margin_logits"):
+            if lk in ret:
+                labels = ret[lk.replace("logits", "labels")]
+                metrics[f"{prefix}_top1"] = topk_accuracy(ret[lk], labels, (1,))[0]
+                if prefix == "clip":
+                    metrics["clip_top5"] = topk_accuracy(ret[lk], labels, (1, 5))[1]
+    metrics["total_loss"] = total_loss(ret)
+    return metrics
+
+
+def make_train_step(task, tx, aug_cfg: AugConfig):
+    def train_step(state: TrainState, frames_u8: jax.Array, key: jax.Array):
+        k_aug, k_shuffle = jax.random.split(jax.random.fold_in(key, state.step))
+        block = pretrain_batch(k_aug, frames_u8, aug_cfg)
+        if task.n_views == 2:
+            block = block[:, :2]
+
+        def loss_fn(params):
+            tstate = TaskState(params=params, batch_stats=state.batch_stats,
+                               moco=state.moco)
+            ret, new_bs, new_moco = task.forward(
+                params, tstate, block, k_shuffle, train=True
+            )
+            return total_loss(ret), (ret, new_bs, new_moco)
+
+        (loss, (ret, new_bs, new_moco)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = compute_metrics(ret)
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=new_bs,
+            moco=new_moco, opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def build_dataset(cfg: PretrainConfig):
+    d = cfg.data
+    if d.synthetic:
+        entries, class_index = synthetic_entries(
+            d.synthetic_videos, d.synthetic_classes
+        )
+        source = SyntheticFrameSource(scale=d.scale_hw)
+    else:
+        name = d.dataset.split("-")[0]  # ucf101 | hmdb51 | k400
+        root = d.data_root or os.path.join("process_data", "data", name)
+        entries = load_split(root, mode="train", which_split=d.which_split)
+        class_index = load_class_index(root)
+        source = JpegFrameSource(d.db_path, scale=d.scale_hw)
+    return PretrainDataset(
+        entries=entries, class_index=class_index, source=source,
+        num_frames=d.seq_len, ds=d.ds, rand_flip=cfg.aug.rand_flip,
+        aug_series=cfg.aug.aug_series,
+    )
+
+
+def set_path(cfg: PretrainConfig) -> str:
+    """log/{prefix}/pretrain/{name}/ layout (reference pretrain.py:567-591)."""
+    exp = os.path.join(cfg.run.log_root, cfg.run.prefix, "pretrain",
+                       cfg.run.name_prefix)
+    if jax.process_index() == 0:
+        os.makedirs(os.path.join(exp, "model"), exist_ok=True)
+        os.makedirs(os.path.join(exp, "img"), exist_ok=True)
+    return exp
+
+
+def train(cfg: PretrainConfig, max_steps: int | None = None) -> dict[str, float]:
+    """Full pretraining loop. Returns the final epoch's mean metrics."""
+    init_distributed()
+    exp_path = set_path(cfg)
+    logger = get_logger(os.path.join(exp_path, "log"),
+                        process_index=jax.process_index())
+    logger.info(f"=> creating {cfg.model.model} with '{cfg.model.net}' backbone")
+
+    mesh = make_mesh()
+    dataset = build_dataset(cfg)
+    loader = HostLoader(
+        dataset, cfg.optim.batch_size, shuffle=True, seed=cfg.run.seed,
+        num_workers=cfg.data.workers,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    steps_per_epoch = len(loader)
+    logger.info(f"train dataset size {len(dataset)}, {steps_per_epoch} steps/epoch")
+
+    aug_cfg = AugConfig(
+        img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,
+        aug_temp_consist=cfg.aug.aug_temp_consist,
+        aug_temp_grad_consist=cfg.aug.aug_temp_grad_consist,
+    )
+    task = make_task(cfg.model)
+    tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    H, W = cfg.data.scale_hw
+    example = jnp.zeros(
+        (cfg.optim.batch_size, task.n_views, cfg.data.seq_len,
+         cfg.data.img_dim, cfg.data.img_dim, 3), jnp.float32)
+    tstate = task.init(rng, example)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=tstate.params,
+        batch_stats=tstate.batch_stats, moco=tstate.moco,
+        opt_state=tx.init(tstate.params),
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info(f"params: {n_params / 1e6:.2f}M")
+
+    # replicate state, shard batches
+    state = jax.device_put(state, replicated(mesh))
+    data_sh = batch_sharding(mesh)
+    train_step = jax.jit(
+        make_train_step(task, tx, aug_cfg), donate_argnums=(0,),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+
+    store = CheckpointStore(os.path.join(exp_path, "model"),
+                            keep_all=cfg.run.keep_all)
+    start_epoch = cfg.optim.start_epoch
+    best_acc = 0.0
+    if cfg.run.resume:
+        rstore = CheckpointStore(cfg.run.resume) if cfg.run.resume != "auto" \
+            else store
+        last = rstore.latest_epoch()
+        if last is not None:
+            state = jax.device_put(
+                rstore.restore(last, template=jax.tree.map(np.asarray, state)),
+                replicated(mesh))
+            start_epoch = last + 1
+            logger.info(f"=> resumed from epoch {last}")
+        else:
+            logger.info("[warning] no checkpoint found, training from scratch")
+
+    writer = (MetricsWriter(os.path.join(exp_path, "img", "pretrain"))
+              if jax.process_index() == 0 else None)
+
+    global_step = start_epoch * steps_per_epoch
+    final_metrics: dict[str, float] = {}
+    done = False
+    for epoch in range(start_epoch, cfg.optim.epochs):
+        bank = MeterBank()
+        t_data = AverageMeter("Data", ":.3f")
+        t_batch = AverageMeter("Time", ":.3f")
+        progress = ProgressMeter(
+            steps_per_epoch, [],
+            prefix=f"Epoch:[{epoch}/{cfg.optim.epochs}] "
+                   f"lr:{float(lr_fn(global_step)):.5f} ",
+            logger=logger)
+        tic = time.time()
+        end = time.time()
+        for it, batch in enumerate(loader.epoch(epoch)):
+            t_data.update(time.time() - end)
+            frames = jax.device_put(batch["frames"], data_sh)
+            state, metrics = train_step(state, frames, rng)
+            if (it + 1) % cfg.run.print_freq == 0 or it == steps_per_epoch - 1:
+                metrics = jax.device_get(metrics)  # sync point
+                B = cfg.optim.batch_size
+                for k, v in metrics.items():
+                    if k.endswith("_loss"):
+                        bank.loss(k[:-5]).update(float(v), B)
+                    elif k.endswith("top1"):
+                        bank.acc(k[:-5]).update(float(v), B)
+                progress.meters = [t_batch, t_data] + bank.all_meters()
+                progress.display(it)
+                if writer:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"local/{k}", float(v), global_step)
+                final_metrics = {k: float(v) for k, v in metrics.items()}
+            t_batch.update(time.time() - end)
+            end = time.time()
+            global_step += 1
+            if max_steps is not None and global_step >= max_steps:
+                done = True
+                break
+
+        logger.info(
+            f"Epoch: [{epoch}/{cfg.optim.epochs}]\tT-epoch:{time.time() - tic:.2f}"
+        )
+        if writer:
+            for key, m in bank.losses.items():
+                writer.add_scalar(f"global/{key}_loss", m.avg, epoch)
+            for key, m in bank.accs.items():
+                writer.add_scalar(f"global/{key}_acc", m.avg, epoch)
+
+        if ((epoch + 1) % cfg.run.eval_freq == 0 or epoch == cfg.optim.epochs - 1
+                or done) and jax.process_index() == 0:
+            train_acc = bank.accs["clip"].avg if "clip" in bank.accs else 0.0
+            best_acc = max(best_acc, train_acc)
+            if (epoch + 1) % cfg.run.save_freq == 0 or epoch == cfg.optim.epochs - 1 or done:
+                store.save(epoch, jax.device_get(state), {"acc": train_acc})
+                logger.info(f"saved checkpoint epoch {epoch} (acc {train_acc:.4f})")
+        if done:
+            break
+
+    logger.info(
+        f"Training from ep {start_epoch} to ep {cfg.optim.epochs} finished"
+    )
+    if writer:
+        writer.close()
+    store.close()
+    return final_metrics
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="smoke", choices=sorted(PRETRAIN_PRESETS))
+    p.add_argument("--name_prefix", default=None)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--db_path", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    args = p.parse_args()
+    cfg = PRETRAIN_PRESETS[args.preset]
+    if args.data_root or args.db_path:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data,
+            data_root=args.data_root or cfg.data.data_root,
+            db_path=args.db_path or cfg.data.db_path,
+            synthetic=False,
+        ))
+    if args.batch_size or args.epochs:
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim,
+            batch_size=args.batch_size or cfg.optim.batch_size,
+            epochs=args.epochs or cfg.optim.epochs,
+        ))
+    if args.name_prefix or args.resume:
+        cfg = cfg.replace(run=dataclasses.replace(
+            cfg.run,
+            name_prefix=args.name_prefix or cfg.run.name_prefix,
+            resume=args.resume or cfg.run.resume,
+        ))
+    train(cfg, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Index loading, sharding, datasets, and the host loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dualvar_tpu.data.indices import (
+    load_class_index,
+    load_split,
+    shard_for_process,
+)
+from dualvar_tpu.data.loader import (
+    ClassifierDataset,
+    HostLoader,
+    PretrainDataset,
+    SyntheticFrameSource,
+    TenClipDataset,
+    synthetic_entries,
+)
+
+
+def _write_index(tmp_path, n=20):
+    root = str(tmp_path)
+    classes = ["jump", "run"]
+    with open(os.path.join(root, "ClassInd.txt"), "w") as f:
+        f.write("\n".join(classes))
+    rows = []
+    for i in range(n):
+        c = classes[i % 2]
+        rows.append(f"/data/frames/{c}/v_{c}_{i:03d}/,{100 + i}")
+    with open(os.path.join(root, "train_split01.csv"), "w") as f:
+        f.write("\n".join(rows))
+    with open(os.path.join(root, "test_split01.csv"), "w") as f:
+        f.write("\n".join(rows[:6]))
+    return root
+
+
+def test_load_class_index(tmp_path):
+    root = _write_index(tmp_path)
+    ci = load_class_index(root)
+    assert ci.num_class == 2
+    assert ci.encode("run") == 1 and ci.decode(0) == "jump"
+
+
+def test_load_split_train_val_disjoint(tmp_path):
+    root = _write_index(tmp_path, n=20)
+    train = load_split(root, "train", val_size=5)
+    val = load_split(root, "val", val_size=5)
+    test = load_split(root, "test")
+    assert len(train) == 15 and len(val) == 5 and len(test) == 6
+    assert {e.vname for e in train}.isdisjoint({e.vname for e in val})
+    e = train[0]
+    assert e.vname.count("/") == 1 and e.vlen >= 100  # "class/videoname"
+
+
+def test_shard_for_process_partitions():
+    shards = [shard_for_process(103, p, 4, shuffle_seed=1) for p in range(4)]
+    assert all(len(s) == len(shards[0]) for s in shards)
+    total = np.concatenate(shards)
+    assert set(total.tolist()) == set(range(103))  # covers all (with pad dups)
+
+
+def test_synthetic_source_deterministic():
+    src = SyntheticFrameSource(scale=(24, 20))
+    a = src("cls/vid1", np.array([0, 3, 5]))
+    b = src("cls/vid1", np.array([0, 3, 5]))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (3, 24, 20, 3) and a.dtype == np.uint8
+    c = src("cls/vid2", np.array([0, 3, 5]))
+    assert np.abs(a.astype(int) - c.astype(int)).mean() > 1
+
+
+def test_pretrain_dataset_sample():
+    entries, ci = synthetic_entries(8, 2)
+    ds = PretrainDataset(entries, ci, SyntheticFrameSource((24, 20)),
+                         num_frames=4, ds=2)
+    s = ds(0, np.random.default_rng(0))
+    assert s["frames"].shape == (12, 24, 20, 3)  # 3 views x 4 frames
+    assert 0 <= s["label"] < 2
+
+
+def test_tenclip_dataset_sample():
+    entries, ci = synthetic_entries(8, 2)
+    ds = TenClipDataset(entries, ci, SyntheticFrameSource((24, 20)),
+                        num_frames=4, ds=2)
+    s = ds(1, np.random.default_rng(0))
+    assert s["frames"].shape == (40, 24, 20, 3)
+
+
+def test_host_loader_deterministic_and_shuffles():
+    entries, ci = synthetic_entries(16, 2)
+    ds = ClassifierDataset(entries, ci, SyntheticFrameSource((24, 20)),
+                           num_frames=4, ds=2, mode="train")
+    l1 = HostLoader(ds, batch_size=4, seed=5, num_workers=2)
+    l2 = HostLoader(ds, batch_size=4, seed=5, num_workers=2)
+    b1 = next(iter(l1.epoch(0)))
+    b2 = next(iter(l2.epoch(0)))
+    np.testing.assert_array_equal(b1["frames"], b2["frames"])
+    np.testing.assert_array_equal(b1["label"], b2["label"])
+    # different epoch -> different order
+    b3 = next(iter(l1.epoch(1)))
+    assert not np.array_equal(b1["vid"], b3["vid"])
+    assert len(l1) == 4
+
+
+def test_host_loader_drop_last():
+    entries, ci = synthetic_entries(10, 2)
+    ds = ClassifierDataset(entries, ci, SyntheticFrameSource((24, 20)),
+                           num_frames=4, ds=2, mode="val")
+    keep = HostLoader(ds, batch_size=4, drop_last=False, shuffle=False)
+    drop = HostLoader(ds, batch_size=4, drop_last=True, shuffle=False)
+    assert len(keep) == 3 and len(drop) == 2
+    batches = list(keep.epoch(0))
+    assert [len(b["label"]) for b in batches] == [4, 4, 2]
