@@ -58,7 +58,8 @@ class ModelConfig:
     shufflerank_theta: float = 0.05  # pretrain.py:98
     series_T: float = 0.07  # pretrain.py:99
     aligned_T: float = 0.07  # pretrain.py:101
-    mode: str = "clip-sr-tc"  # pretrain.py:103
+    mode: str = "clip-sr-tc"  # pretrain.py:103; also 'clip-sr-dtw'
+    dtw_gamma: float = 0.1  # soft-DTW smoothing for the dtw TC mode
     dtype: str = "bfloat16"  # TPU compute dtype (params stay f32)
 
 

@@ -40,15 +40,35 @@ except ImportError:  # pragma: no cover
 
 class JpegFrameSource:
     """Reads ``{db_path}/{vname}/image_{i+1:05d}.jpg`` (reference
-    local_dataset.py:149-150) and resizes with PIL bicubic (the reference
-    Scale default, augmentation.py:126)."""
+    local_dataset.py:149-150) and resizes with bicubic antialiasing (the
+    reference Scale default, augmentation.py:126).
 
-    def __init__(self, db_path: str, scale: tuple[int, int] | int = (171, 128)):
+    Fixed-size resizes go through the native C++ decoder (dualvar_tpu.native:
+    libjpeg + PIL-equivalent resampler + thread pool) when it is available;
+    the PIL path is the fallback and handles int short-side resizes."""
+
+    def __init__(self, db_path: str, scale: tuple[int, int] | int = (171, 128),
+                 use_native: bool = True, native_threads: int = 4):
         # scale: (H, W) fixed resize, or int short-side resize
         self.db_path = db_path
         self.scale = scale
+        self.native_threads = native_threads
+        self._native = None
+        if use_native and not isinstance(scale, int):
+            from .. import native
+
+            if native.available():
+                self._native = native
 
     def __call__(self, vname: str, frame_indices: np.ndarray) -> np.ndarray:
+        paths = [
+            os.path.join(self.db_path, vname, f"image_{int(i) + 1:05d}.jpg")
+            for i in frame_indices
+        ]
+        if self._native is not None:
+            return self._native.decode_jpeg_files(
+                paths, self.scale, n_threads=self.native_threads
+            )
         frames = []
         for i in frame_indices:
             path = os.path.join(self.db_path, vname, f"image_{int(i) + 1:05d}.jpg")

@@ -90,19 +90,69 @@ def nt_xent_loss(
     return _loss_dict(prefix, logits, loss)
 
 
+def dtw_alignment_similarity(
+    a: Array, b: Array, gamma: float = 0.1, impl: str = "auto"
+) -> Array:
+    """Soft-DTW alignment similarity between batches of segment sequences.
+
+    ``a``: (..., n, d), ``b``: (..., m, d) broadcastable on leading axes.
+    Returns the negated soft-DTW of the *negated* inner-product cost,
+    normalised by max(n, m): a differentiable soft-max over monotone alignment
+    paths of the total segment similarity. This is the first-class form of the
+    reference's DTW-aligned TC ablation (SoftDTW with the similarity dist
+    func, utils/soft_dtw_cuda.py:321-331; ablation mode names
+    model/moco.py:272-273), scaled to be comparable with the mean-similarity
+    score.
+    """
+    from ...ops.soft_dtw import soft_dtw
+
+    D = jnp.einsum("...nd,...md->...nm", a, b)
+    lead = D.shape[:-2]
+    n, m = D.shape[-2], D.shape[-1]
+    flat = D.reshape(-1, n, m)
+    vals = -soft_dtw(-flat, gamma, 0.0, impl)
+    return vals.reshape(lead) / max(n, m)
+
+
 def tc_contrast_loss_global(
-    series_features: Array, temperature: float, prefix: str = "tc_"
+    series_features: Array,
+    temperature: float,
+    prefix: str = "tc_",
+    align: str = "mean",
+    dtw_gamma: float = 0.1,
 ) -> dict[str, Array]:
     """Temporal-coherent contrastive loss, SimCLR (global-matrix) form.
 
     Parity: model/simclr.py:280-337 (calc_tc_contrast_loss). ``series_features``:
-    (N, 2, n_series, dim), per-segment L2-normalised. Video-to-video similarity
-    is the mean pairwise segment similarity == inner product of segment means.
+    (N, 2, n_series, dim), per-segment L2-normalised.
+
+    align='mean' (paper default): video-to-video similarity is the mean
+    pairwise segment similarity == inner product of segment means.
+    align='dtw': soft-DTW alignment similarity over the segment sequences
+    (the reference's DTW ablation, Pallas kernel on TPU).
     """
     N, n_views, n_series, dim = series_features.shape
     assert n_views == 2, series_features.shape
-    means = jnp.mean(series_features, axis=2)  # (N, 2, dim)
-    return nt_xent_loss(means, temperature, prefix)
+    if align == "mean":
+        means = jnp.mean(series_features, axis=2)  # (N, 2, dim)
+        return nt_xent_loss(means, temperature, prefix)
+    # view-major sequence batch (2N, s, d), pairwise DTW similarity matrix
+    f = jnp.transpose(series_features, (1, 0, 2, 3)).reshape(
+        2 * N, n_series, dim
+    )
+    sim = dtw_alignment_similarity(
+        f[:, None], f[None, :], gamma=dtw_gamma
+    )  # (2N, 2N)
+    idx = jnp.arange(2 * N)
+    clip_id = idx % N
+    same_clip = clip_id[:, None] == clip_id[None, :]
+    diag = idx[:, None] == idx[None, :]
+    pos_mask = same_clip & ~diag
+    pos = jnp.sum(jnp.where(pos_mask, sim, 0.0), axis=1, keepdims=True)
+    rest = jnp.where(same_clip, NEG_INF, sim)
+    logits = jnp.concatenate([pos, rest], axis=1) / temperature
+    loss = cross_entropy_from_logits(logits, jnp.zeros((2 * N,), jnp.int32))
+    return _loss_dict(prefix, logits, loss)
 
 
 def shuffle_rank_loss(
@@ -186,22 +236,35 @@ def moco_tc_contrast_loss(
     series_queue: Array,
     temperature: float,
     prefix: str = "tc_",
+    align: str = "mean",
+    dtw_gamma: float = 0.1,
 ) -> dict[str, Array]:
     """Temporal-coherent loss, MoCo (queue) form.
 
     Parity: model/moco.py:404-424 (calc_tc_contrast_loss). ``q_series`` /
     ``k_series``: (B, n_series, dim); ``series_queue``: (K, n_series*dim) with
-    per-segment layout matching ``reshape(K, n_series, dim)``. Similarity is
-    the mean pairwise segment similarity == inner product of segment means.
+    per-segment layout matching ``reshape(K, n_series, dim)``.
+
+    align='mean' (paper default): mean pairwise segment similarity == inner
+    product of segment means. align='dtw': soft-DTW alignment similarity
+    (the reference's DTW ablation).
     """
     B, n_series, dim = q_series.shape
     k_series = jax.lax.stop_gradient(k_series)
     series_queue = jax.lax.stop_gradient(series_queue)
-    qm = jnp.mean(q_series, axis=1)  # (B, dim)
-    km = jnp.mean(k_series, axis=1)
-    nm = jnp.mean(series_queue.reshape(-1, n_series, dim), axis=1)  # (K, dim)
-    pos = jnp.sum(qm * km, axis=1, keepdims=True)
-    neg = qm @ nm.T
+    queue_seq = series_queue.reshape(-1, n_series, dim)
+    if align == "mean":
+        qm = jnp.mean(q_series, axis=1)  # (B, dim)
+        km = jnp.mean(k_series, axis=1)
+        nm = jnp.mean(queue_seq, axis=1)  # (K, dim)
+        pos = jnp.sum(qm * km, axis=1, keepdims=True)
+        neg = qm @ nm.T
+    else:
+        pos = dtw_alignment_similarity(q_series, k_series,
+                                       gamma=dtw_gamma)[:, None]
+        neg = dtw_alignment_similarity(
+            q_series[:, None], queue_seq[None, :], gamma=dtw_gamma
+        )  # (B, K)
     logits = jnp.concatenate([pos, neg], axis=1) / temperature
     loss = cross_entropy_from_logits(logits, jnp.zeros((B,), jnp.int32))
     return _loss_dict(prefix, logits, loss)

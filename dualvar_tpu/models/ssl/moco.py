@@ -194,6 +194,7 @@ def moco_timeseries_forward(
     temperature: float,
     aligned_T: float,
     mode: str = "clip-sr-tc",
+    dtw_gamma: float = 0.1,
     perm: jax.Array | None = None,
     rng: jax.Array | None = None,
     train: bool = True,
@@ -220,10 +221,11 @@ def moco_timeseries_forward(
 
     ret: dict[str, jax.Array] = {}
     ret.update(moco_contrast_loss(q, k, state.queue, temperature, "clip_"))
-    if "tc" in mode:
+    if "tc" in mode or "dtw" in mode:
         ret.update(
             moco_tc_contrast_loss(
-                series_q, series_k, state.series_queue, aligned_T, "tc_"
+                series_q, series_k, state.series_queue, aligned_T, "tc_",
+                align="dtw" if "dtw" in mode else "mean", dtw_gamma=dtw_gamma,
             )
         )
 

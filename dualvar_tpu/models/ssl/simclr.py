@@ -106,6 +106,7 @@ class SimCLRTimeSeriesV4(nn.Module):
     aligned_T: float = 0.07
     mode: str = "clip-sr-tc"
     shufflerank_theta: float = 0.05
+    dtw_gamma: float = 0.1
     nonlinear: bool = True
     dtype: Any = jnp.float32
 
@@ -119,7 +120,13 @@ class SimCLRTimeSeriesV4(nn.Module):
 
     @property
     def with_tc(self):
-        return "tc" in self.mode
+        # 'clip-sr-tc' (paper default, mean similarity) or 'clip-sr-dtw'
+        # (soft-DTW-aligned TC, the reference's ablation as a first-class mode)
+        return "tc" in self.mode or "dtw" in self.mode
+
+    @property
+    def tc_align(self):
+        return "dtw" if "dtw" in self.mode else "mean"
 
     def setup(self):
         backbone, param = select_backbone(self.network, self.dtype)
@@ -149,7 +156,9 @@ class SimCLRTimeSeriesV4(nn.Module):
         )
         series = l2_normalize(series, axis=-1)
         if self.with_tc:
-            ret.update(tc_contrast_loss_global(series[:, :2], self.aligned_T, "tc_"))
+            ret.update(tc_contrast_loss_global(
+                series[:, :2], self.aligned_T, "tc_",
+                align=self.tc_align, dtw_gamma=self.dtw_gamma))
 
         if self.with_sr:
             if perm is None:

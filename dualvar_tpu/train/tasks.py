@@ -61,7 +61,8 @@ class SimCLRTask:
                 network=cfg.net, dim=cfg.moco_dim, temperature=cfg.moco_t,
                 n_series=cfg.n_series, series_dim=cfg.series_dim,
                 series_T=cfg.series_T, aligned_T=cfg.aligned_T, mode=cfg.mode,
-                shufflerank_theta=cfg.shufflerank_theta, dtype=_dtype(cfg),
+                shufflerank_theta=cfg.shufflerank_theta,
+                dtw_gamma=cfg.dtw_gamma, dtype=_dtype(cfg),
             )
             self.n_views = 3
 
@@ -123,7 +124,8 @@ class MoCoTask:
             ret, updated_q, new_moco = moco_timeseries_forward(
                 self.encoder, variables, state.moco, block,
                 self.cfg.moco_m, self.cfg.moco_t, self.cfg.aligned_T,
-                mode=self.cfg.mode, rng=rng, train=train,
+                mode=self.cfg.mode, dtw_gamma=self.cfg.dtw_gamma,
+                rng=rng, train=train,
             )
         new_bs = updated_q.get("batch_stats", state.batch_stats) if train \
             else state.batch_stats

@@ -108,3 +108,32 @@ def test_shuffle_rank_masked_columns_never_win():
     r = L.shuffle_rank_loss(pf, 0.05, 0.5, "r_", clip_max=5.0)
     top1 = L.topk_accuracy(r["r_margin_logits"], r["r_margin_labels"], (1,))[0]
     assert 0.0 <= float(top1) <= 1.0
+
+
+def test_tc_dtw_mode_runs_and_grads_flow():
+    """soft-DTW-aligned TC (reference DTW ablation as first-class mode)."""
+    sf = jnp.array(_load("g_tc_in.npy"), jnp.float32)  # (4, 2, 3, 5)
+    r = L.tc_contrast_loss_global(sf, 0.11, align="dtw", dtw_gamma=0.1)
+    assert np.isfinite(float(r["tc_contrast_loss"]))
+    g = jax.grad(lambda f: L.tc_contrast_loss_global(
+        f, 0.11, align="dtw")["tc_contrast_loss"])(sf)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+
+
+def test_moco_tc_dtw_mode():
+    qs = jnp.array(_load("g_moco_qs.npy"), jnp.float32)
+    ks = jnp.array(_load("g_moco_ks.npy"), jnp.float32)
+    sq = jnp.array(_load("g_moco_sq.npy"), jnp.float32).T
+    r = L.moco_tc_contrast_loss(qs, ks, sq, 0.11, align="dtw")
+    assert r["tc_logits"].shape == (4, 17)
+    assert np.isfinite(float(r["tc_contrast_loss"]))
+
+
+def test_dtw_similarity_reduces_to_matching_for_sharp_gamma():
+    """With n_series=1 the DTW alignment similarity equals the plain inner
+    product (single-cell path)."""
+    a = jnp.array(np.random.RandomState(0).rand(6, 1, 8).astype(np.float32))
+    b = jnp.array(np.random.RandomState(1).rand(6, 1, 8).astype(np.float32))
+    sim = L.dtw_alignment_similarity(a, b, gamma=0.01)
+    want = np.einsum("bid,bjd->b", np.array(a), np.array(b))
+    np.testing.assert_allclose(np.array(sim), want, rtol=1e-4)

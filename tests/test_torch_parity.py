@@ -1,0 +1,135 @@
+"""Numerical parity vs torch: load identical weights into the reference-style
+torch backbone and our JAX backbone and compare outputs.
+
+This pins conv/BN semantics (padding, strides, eps, channel order) exactly —
+the strongest form of the reference's __main__ shape-smoke contract
+(backbone/r3d.py:159-170). The torch model here is built from
+torchvision-free primitives following the architecture spec, NOT imported
+from the reference repo.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dualvar_tpu.models.backbones import select_backbone  # noqa: E402
+
+
+class TorchR3DBlock(nn.Module):
+    def __init__(self, cin, cout, downsample):
+        super().__init__()
+        stride = 2 if downsample else 1
+        self.conv1 = nn.Conv3d(cin, cout, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm3d(cout)
+        self.conv2 = nn.Conv3d(cout, cout, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm3d(cout)
+        self.downsample = downsample
+        if downsample:
+            self.dconv = nn.Conv3d(cin, cout, 1, stride=2, bias=False)
+            self.dbn = nn.BatchNorm3d(cout)
+
+    def forward(self, x):
+        r = torch.relu(self.bn1(self.conv1(x)))
+        r = self.bn2(self.conv2(r))
+        if self.downsample:
+            x = self.dbn(self.dconv(x))
+        return torch.relu(x + r)
+
+
+class TorchR3D(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv3d(3, 64, (3, 7, 7), stride=(1, 2, 2),
+                               padding=(1, 3, 3), bias=False)
+        self.bn1 = nn.BatchNorm3d(64)
+        self.blocks = nn.ModuleList([
+            TorchR3DBlock(64, 64, False),
+            TorchR3DBlock(64, 128, True),
+            TorchR3DBlock(128, 256, True),
+            TorchR3DBlock(256, 512, True),
+        ])
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+def t2j_conv(w):
+    # torch (O, I, kt, kh, kw) -> jax (kt, kh, kw, I, O)
+    return jnp.asarray(w.detach().numpy().transpose(2, 3, 4, 1, 0))
+
+
+def copy_bn(tbn, jparams, jstats):
+    jparams["scale"] = jnp.asarray(tbn.weight.detach().numpy())
+    jparams["bias"] = jnp.asarray(tbn.bias.detach().numpy())
+    jstats["mean"] = jnp.asarray(tbn.running_mean.detach().numpy())
+    jstats["var"] = jnp.asarray(tbn.running_var.detach().numpy())
+
+
+def test_r3d_matches_torch_eval_mode():
+    torch.manual_seed(0)
+    tm = TorchR3D().eval()
+    # randomize BN running stats so the eval path is non-trivial
+    for m in tm.modules():
+        if isinstance(m, nn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+
+    model, _ = select_backbone("r3d")
+    x_np = np.random.RandomState(0).rand(2, 3, 8, 64, 64).astype(np.float32)
+    xj = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))  # -> (B, T, H, W, C)
+    variables = model.init(jax.random.PRNGKey(0), xj, train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    params["conv1"]["kernel"] = t2j_conv(tm.conv1.weight)
+    copy_bn(tm.bn1, params["bn1"]["bn"], stats["bn1"]["bn"])
+    for li, block in enumerate(tm.blocks):
+        name = f"layer{li + 1}_block0"
+        params[name]["conv1"]["kernel"] = t2j_conv(block.conv1.weight)
+        params[name]["conv2"]["kernel"] = t2j_conv(block.conv2.weight)
+        copy_bn(block.bn1, params[name]["bn1"]["bn"], stats[name]["bn1"]["bn"])
+        copy_bn(block.bn2, params[name]["bn2"]["bn"], stats[name]["bn2"]["bn"])
+        if block.downsample:
+            params[name]["downsample_conv"]["kernel"] = t2j_conv(block.dconv.weight)
+            copy_bn(block.dbn, params[name]["downsample_bn"]["bn"],
+                    stats[name]["downsample_bn"]["bn"])
+
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x_np)).numpy()  # (B, C, T, H, W)
+    yj = model.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+
+    assert yt.shape == yj.shape
+    np.testing.assert_allclose(yj, yt, atol=2e-4, rtol=1e-3)
+
+
+def test_r3d_train_mode_batch_stats_match_torch():
+    """Train-mode BN: batch moments + running-stat update semantics."""
+    torch.manual_seed(1)
+    tbn = nn.BatchNorm3d(4)  # momentum 0.1, eps 1e-5
+    x_np = np.random.RandomState(1).rand(2, 4, 3, 5, 5).astype(np.float32)
+    y_t = tbn(torch.from_numpy(x_np)).detach().numpy()
+
+    from dualvar_tpu.models.layers import BatchNorm
+
+    bn = BatchNorm()
+    xj = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))
+    variables = bn.init(jax.random.PRNGKey(0), xj, False)
+    yj, updated = bn.apply(variables, xj, False, mutable=["batch_stats"])
+    yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(yj, y_t, atol=1e-5, rtol=1e-4)
+    # running stats after one step: torch ra = 0.9*init + 0.1*batch (unbiased var)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["bn"]["mean"]),
+        tbn.running_mean.detach().numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["bn"]["var"]),
+        tbn.running_var.detach().numpy(), atol=1e-4, rtol=1e-3)
