@@ -40,7 +40,7 @@ def main():
     from dualvar_tpu.train.tasks import total_loss
     import dualvar_tpu.aug.pipeline as P
 
-    B, T, H0, W0 = 16, 16, 171, 128
+    B, T, H0, W0 = 64, 16, 171, 128
     img = 112
     model = SimCLRNaked(network="r3d", dim=128, temperature=0.07,
                         dtype=jnp.bfloat16)
@@ -88,28 +88,35 @@ def main():
         log("cost_analysis failed:", e)
         f_fwd_total = 0.0
 
-    # warmup (compile) then timed steps
+    # warmup (compile) then timed steps. NOTE on timing: under the axon relay
+    # block_until_ready is unreliable; a host transfer (float()) is the only
+    # hard barrier and costs one tunnel round trip. Time a chain of donated
+    # steps (each consumes the previous outputs, so the final loss transitively
+    # waits on all of them) with a single final float(), minus a measured RTT.
     key = jax.random.PRNGKey(1)
     params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state,
                                                 frames, key)
-    jax.block_until_ready(loss)
     log("compiled; warmup loss", float(loss))
-    for i in range(2):
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, frames, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
 
-    n_steps = 10
+    rtts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(frames[:1, 0, 0, 0].astype(jnp.float32)) + i)
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[1]
+
+    n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, frames,
             jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    final = float(loss)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     clips_per_sec = B * 2 * n_steps / dt
-    log(f"step {dt / n_steps * 1e3:.1f} ms, {clips_per_sec:.1f} clips/s")
+    log(f"step {dt / n_steps * 1e3:.1f} ms (rtt {rtt * 1e3:.0f} ms), "
+        f"{clips_per_sec:.1f} clips/s, final loss {final:.3f}")
 
     if f_fwd_total > 0:
         f_fwd_per_clip = f_fwd_total / (B * 2)

@@ -31,6 +31,17 @@ def init_distributed() -> None:
         jax.distributed.initialize()
 
 
+def data_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
+    """Mesh whose data axis is the largest device count dividing the
+    per-process batch (a 4-sample smoke batch on an 8-device host uses 4
+    devices rather than failing the sharding divisibility check)."""
+    n = len(jax.devices()) // model_parallel
+    d = min(n, batch_size)
+    while batch_size % d:
+        d -= 1
+    return make_mesh(d * model_parallel, model_parallel)
+
+
 def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:

@@ -40,7 +40,8 @@ from ..aug.pipeline import (
 from ..core.checkpoint import CheckpointStore, load_pretrained_backbone
 from ..core.config import CLASSIFIER_PRESETS, ClassifierConfig
 from ..core.logging import get_logger
-from ..core.mesh import batch_sharding, init_distributed, make_mesh, replicated
+from ..core.mesh import (batch_sharding, data_mesh_for_batch,
+                         init_distributed, make_mesh, replicated)
 from ..core.meters import AverageMeter, MeterBank, ProgressMeter
 from ..core.metrics_writer import MetricsWriter
 from ..data.indices import load_class_index, load_split
@@ -108,22 +109,27 @@ def make_train_step(model: LinearClassifier, tx, aug_cfg: AugConfig,
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            out = model.apply(
+            # in probe mode train=False keeps BN in inference mode; nothing is
+            # written to the mutable collection so batch_stats pass through
+            (logit, _), updated = model.apply(
                 variables, clips, train=bn_train,
                 rngs={"dropout": k_drop},
-                mutable=["batch_stats"] if bn_train else [],
+                mutable=["batch_stats"],
             )
-            (logit, _), updated = out if bn_train else (out, {})
             loss = cross_entropy_from_logits(logit, labels)
             return loss, (logit, updated.get("batch_stats", state.batch_stats))
 
         (loss, (logit, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        if freeze_backbone:
-            grads = grads.copy()
-            grads["backbone"] = jax.tree.map(jnp.zeros_like, grads["backbone"])
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if freeze_backbone:
+            # probe mode excludes backbone params from the optimizer entirely
+            # (reference classifier.py:240-247) — zero their *updates* so
+            # neither gradients nor weight decay move them
+            updates = dict(updates)
+            updates["backbone"] = jax.tree.map(jnp.zeros_like,
+                                               updates["backbone"])
         params = optax.apply_updates(state.params, updates)
         top1, top5 = topk_accuracy(logit, labels, (1, 5))
         metrics = {"loss": loss, "top1": top1, "top5": top5}
@@ -222,7 +228,7 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
     logger.info(
         f"Classifier to {cfg.num_class} classes with {cfg.model.net} backbone"
     )
-    mesh = make_mesh()
+    mesh = data_mesh_for_batch(cfg.optim.batch_size)
     model = build_model(cfg)
     aug_cfg = AugConfig(
         img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,

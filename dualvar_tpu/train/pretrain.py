@@ -31,7 +31,8 @@ from ..aug.pipeline import AugConfig, pretrain_batch
 from ..core.checkpoint import CheckpointStore
 from ..core.config import PRETRAIN_PRESETS, PretrainConfig
 from ..core.logging import get_logger
-from ..core.mesh import batch_sharding, init_distributed, make_mesh, replicated
+from ..core.mesh import (batch_sharding, data_mesh_for_batch,
+                         init_distributed, make_mesh, replicated)
 from ..core.meters import AverageMeter, MeterBank, ProgressMeter
 from ..core.metrics_writer import MetricsWriter
 from ..data.indices import load_class_index, load_split
@@ -146,15 +147,20 @@ def set_path(cfg: PretrainConfig) -> str:
     return exp
 
 
-def train(cfg: PretrainConfig, max_steps: int | None = None) -> dict[str, float]:
-    """Full pretraining loop. Returns the final epoch's mean metrics."""
+def train(cfg: PretrainConfig, max_steps: int | None = None,
+          profile_steps: int = 0) -> dict[str, float]:
+    """Full pretraining loop. Returns the final epoch's mean metrics.
+
+    ``profile_steps`` > 0 captures a jax.profiler trace of that many steps
+    (after compilation) under {exp_path}/img/profile — the TPU-native
+    replacement for the reference's manual wall timing (SURVEY.md §5)."""
     init_distributed()
     exp_path = set_path(cfg)
     logger = get_logger(os.path.join(exp_path, "log"),
                         process_index=jax.process_index())
     logger.info(f"=> creating {cfg.model.model} with '{cfg.model.net}' backbone")
 
-    mesh = make_mesh()
+    mesh = data_mesh_for_batch(cfg.optim.batch_size)
     dataset = build_dataset(cfg)
     loader = HostLoader(
         dataset, cfg.optim.batch_size, shuffle=True, seed=cfg.run.seed,
@@ -231,7 +237,14 @@ def train(cfg: PretrainConfig, max_steps: int | None = None) -> dict[str, float]
         for it, batch in enumerate(loader.epoch(epoch)):
             t_data.update(time.time() - end)
             frames = jax.device_put(batch["frames"], data_sh)
+            if profile_steps and global_step == start_epoch * steps_per_epoch + 1:
+                jax.profiler.start_trace(os.path.join(exp_path, "img", "profile"))
             state, metrics = train_step(state, frames, rng)
+            if profile_steps and global_step == (
+                    start_epoch * steps_per_epoch + profile_steps):
+                jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written ({profile_steps} steps)")
             if (it + 1) % cfg.run.print_freq == 0 or it == steps_per_epoch - 1:
                 metrics = jax.device_get(metrics)  # sync point
                 B = cfg.optim.batch_size
@@ -291,6 +304,7 @@ def main():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--profile_steps", type=int, default=0)
     args = p.parse_args()
     cfg = PRETRAIN_PRESETS[args.preset]
     if args.data_root or args.db_path:
@@ -312,7 +326,7 @@ def main():
             name_prefix=args.name_prefix or cfg.run.name_prefix,
             resume=args.resume or cfg.run.resume,
         ))
-    train(cfg, max_steps=args.max_steps)
+    train(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,87 @@
+"""End-to-end pytest smoke for the classifier eval protocols and driver loops
+on tiny synthetic configs (the CLI equivalents were also driven manually;
+these pin them in CI)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from dualvar_tpu.core.config import CLASSIFIER_PRESETS, PRETRAIN_PRESETS, ModelConfig
+
+
+def _tiny(cfg):
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, seq_len=4, img_dim=32, scale_hw=(40, 36),
+            synthetic_videos=8, synthetic_classes=2, workers=2),
+        model=ModelConfig(net="r3d", dtype="float32"),
+        run=dataclasses.replace(cfg.run, log_root=None),  # set per-test
+    )
+
+
+@pytest.fixture
+def clf_cfg(tmp_path):
+    cfg = _tiny(CLASSIFIER_PRESETS["smoke"])
+    cfg = dataclasses.replace(
+        cfg, num_class=2,
+        optim=dataclasses.replace(cfg.optim, batch_size=4, epochs=1),
+        run=dataclasses.replace(cfg.run, log_root=str(tmp_path),
+                                print_freq=1, eval_freq=1))
+    return cfg
+
+
+def test_retrieval_protocol(clf_cfg):
+    from dualvar_tpu.train.classifier import test_retrieval
+
+    out = test_retrieval(clf_cfg)
+    assert set(out) == {"R@1", "R@5", "R@10", "R@20", "R@50"}
+    for v in out.values():
+        assert 0.0 <= v <= 1.0
+    # synthetic train/test share videos and features are deterministic:
+    # nearest neighbor of each video is itself
+    assert out["R@1"] == 1.0
+
+
+def test_temporal_tenclip_protocol(clf_cfg):
+    from dualvar_tpu.train.classifier import test_temporal_tenclip
+
+    out = test_temporal_tenclip(clf_cfg)
+    assert 0.0 <= out["top1"] <= 1.0 and out["top5"] == 1.0  # 2 classes
+    assert out["classwise"]
+
+
+def test_center_crop_protocol(clf_cfg):
+    from dualvar_tpu.train.classifier import test_multicrop
+
+    out = test_multicrop(clf_cfg, "center")
+    assert 0.0 <= out["top1"] <= 1.0
+
+
+def test_classifier_train_loop(clf_cfg):
+    from dualvar_tpu.train.classifier import train
+
+    final = train(clf_cfg, max_steps=2)
+    assert np.isfinite(final["loss"])
+    assert "val_top1" in final
+
+
+def test_pretrain_loop_and_resume(tmp_path):
+    from dualvar_tpu.train.pretrain import train
+
+    cfg = PRETRAIN_PRESETS["smoke"]
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, seq_len=4, img_dim=32,
+                                 scale_hw=(40, 36), synthetic_videos=8,
+                                 workers=2),
+        optim=dataclasses.replace(cfg.optim, batch_size=4, epochs=2),
+        run=dataclasses.replace(cfg.run, log_root=str(tmp_path),
+                                print_freq=1, eval_freq=1, save_freq=1),
+    )
+    m1 = train(cfg, max_steps=2)
+    assert np.isfinite(m1["total_loss"])
+    # resume from the saved checkpoint
+    cfg2 = cfg.replace(run=dataclasses.replace(cfg.run, resume="auto"))
+    m2 = train(cfg2, max_steps=4)
+    assert np.isfinite(m2["total_loss"])
