@@ -40,11 +40,11 @@ def main():
     from dualvar_tpu.train.tasks import total_loss
     import dualvar_tpu.aug.pipeline as P
 
-    B, T, H0, W0 = 64, 16, 171, 128
+    B, T, H0, W0 = 128, 16, 171, 128
     img = 112
     model = SimCLRNaked(network="r3d", dim=128, temperature=0.07,
                         dtype=jnp.bfloat16)
-    aug_cfg = AugConfig(img_dim=img, seq_len=T)
+    aug_cfg = AugConfig(img_dim=img, seq_len=T, out_dtype="bfloat16")
 
     rng = jax.random.PRNGKey(0)
     example = jnp.zeros((B, 2, T, img, img, 3), jnp.float32)

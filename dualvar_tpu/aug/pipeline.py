@@ -38,6 +38,7 @@ class AugConfig:
     with_color_jitter: bool = True  # classifier --with_color_jitter
     rand_flip: bool = False  # classifier spatial flip (classifier.py:1016)
     normalize: bool = True
+    out_dtype: str = "float32"  # 'bfloat16' halves the aug->model HBM traffic
 
     @property
     def jitter_mode(self) -> str:
@@ -49,6 +50,8 @@ class AugConfig:
 def _finish(clip: Array, cfg: AugConfig) -> Array:
     if cfg.normalize:
         clip = F.normalize(clip)
+    if cfg.out_dtype != "float32":
+        clip = clip.astype(cfg.out_dtype)
     return clip
 
 

@@ -25,43 +25,76 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointStore:
+    """Two retention policies side by side, matching the reference exactly:
+    a rolling 'latest' for crash recovery (utils/utils.py:29-34
+    latest.pth.tar; 2 kept so a crash mid-write never loses both) and a
+    'best'-k set ranked by accuracy (utils/utils.py:36-44 model_best_*).
+    ``keep_all`` switches the best manager to keep everything (the k400
+    behavior, pretrain.py:357)."""
+
     def __init__(self, directory: str, keep_all: bool = False, best_k: int = 5):
         self.directory = os.path.abspath(directory)
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=None if keep_all else best_k,
-            best_fn=(None if keep_all else (lambda m: m.get("acc", 0.0))),
-            best_mode="max",
-            create=True,
+        # backwards compat: a flat store (old layout / external dir) is
+        # treated as the latest manager
+        self._flat = os.path.isdir(self.directory) and any(
+            name.isdigit() for name in os.listdir(self.directory)
         )
-        self.manager = ocp.CheckpointManager(self.directory, options=options)
+        latest_dir = self.directory if self._flat else os.path.join(
+            self.directory, "latest")
+        self.latest_mgr = ocp.CheckpointManager(
+            latest_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=2, create=True),
+        )
+        self.best_mgr = None
+        if not self._flat:
+            self.best_mgr = ocp.CheckpointManager(
+                os.path.join(self.directory, "best"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=None if keep_all else best_k,
+                    best_fn=None if keep_all else (lambda m: m.get("acc", 0.0)),
+                    best_mode="max",
+                    create=True,
+                ),
+            )
 
     def save(self, epoch: int, state: Any, metrics: dict[str, float] | None = None):
-        self.manager.save(
-            epoch,
-            args=ocp.args.StandardSave(state),
-            metrics=metrics or {},
-        )
-        self.manager.wait_until_finished()
+        self.latest_mgr.save(epoch, args=ocp.args.StandardSave(state),
+                             metrics=metrics or {})
+        if self.best_mgr is not None:
+            self.best_mgr.save(epoch, args=ocp.args.StandardSave(state),
+                               metrics=metrics or {})
+        self.latest_mgr.wait_until_finished()
+        if self.best_mgr is not None:
+            self.best_mgr.wait_until_finished()
 
     def latest_epoch(self) -> int | None:
-        return self.manager.latest_step()
+        return self.latest_mgr.latest_step()
 
     def best_epoch(self) -> int | None:
-        return self.manager.best_step()
+        if self.best_mgr is not None:
+            return self.best_mgr.best_step()
+        return self.latest_mgr.latest_step()
 
     def restore(self, epoch: int | None = None, template: Any = None) -> Any:
         if epoch is None:
-            epoch = self.manager.latest_step()
+            epoch = self.latest_mgr.latest_step()
         if epoch is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        mgr = self.latest_mgr
+        if epoch not in (mgr.all_steps() or []):
+            if self.best_mgr is not None and epoch in (self.best_mgr.all_steps() or []):
+                mgr = self.best_mgr
+            else:
+                raise FileNotFoundError(
+                    f"epoch {epoch} not found under {self.directory}")
         if template is not None:
-            return self.manager.restore(
-                epoch, args=ocp.args.StandardRestore(template)
-            )
-        return self.manager.restore(epoch)
+            return mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+        return mgr.restore(epoch)
 
     def close(self):
-        self.manager.close()
+        self.latest_mgr.close()
+        if self.best_mgr is not None:
+            self.best_mgr.close()
 
 
 def save_single(path: str, state: Any):

@@ -174,6 +174,7 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
         img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,
         aug_temp_consist=cfg.aug.aug_temp_consist,
         aug_temp_grad_consist=cfg.aug.aug_temp_grad_consist,
+        out_dtype=cfg.model.dtype,
     )
     task = make_task(cfg.model)
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)

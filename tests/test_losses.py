@@ -137,3 +137,13 @@ def test_dtw_similarity_reduces_to_matching_for_sharp_gamma():
     sim = L.dtw_alignment_similarity(a, b, gamma=0.01)
     want = np.einsum("bid,bjd->b", np.array(a), np.array(b))
     np.testing.assert_allclose(np.array(sim), want, rtol=1e-4)
+
+
+def test_calc_mask_accuracy():
+    from dualvar_tpu.core.utils import calc_mask_accuracy
+
+    logits = jnp.array([[0.9, 0.5, 0.1], [0.1, 0.9, 0.5]])
+    mask = jnp.array([[1, 0, 0], [0, 0, 1]])
+    top1, top2 = calc_mask_accuracy(logits, mask, (1, 2))
+    assert float(top1) == pytest.approx(0.5)  # row0 top1 hits, row1 misses
+    assert float(top2) == pytest.approx(1.0)  # row1's positive in top-2
