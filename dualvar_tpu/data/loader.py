@@ -90,17 +90,34 @@ class JpegFrameSource:
 
 class SyntheticFrameSource:
     """Deterministic pseudo-video frames, no filesystem. Each video is a
-    moving colored gradient seeded by its name hash; same (vname, index)
-    always yields the same frame."""
+    translating superposition of random low-frequency color waves seeded by
+    its name; same (vname, index) always yields the same frame.
+
+    Low-frequency structure matters: iid-noise frames are *unlearnable* for
+    instance discrimination through a global-average-pooled CNN (pooling
+    averages the noise away and every video collapses to the same embedding);
+    smooth per-video patterns keep videos separable, so contrastive training
+    on this source actually converges (scripts/learning_check.py)."""
 
     def __init__(self, scale: tuple[int, int] = (171, 128)):
         self.scale = scale
 
     def __call__(self, vname: str, frame_indices: np.ndarray) -> np.ndarray:
         H, W = self.scale
-        seed = abs(hash(vname)) % (2**31)
+        import zlib
+
+        seed = zlib.crc32(vname.encode())  # stable across processes, unlike hash()
         rng = np.random.default_rng(seed)
-        base = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        y = np.arange(H)[:, None] / H
+        x = np.arange(W)[None, :] / W
+        base = np.zeros((H, W, 3), np.float32)
+        for c in range(3):
+            for _ in range(3):
+                fy, fx = rng.uniform(0.5, 4.0, 2)
+                phase = rng.uniform(0, 2 * np.pi)
+                base[..., c] += np.sin(
+                    2 * np.pi * (fy * y + fx * x) + phase).astype(np.float32)
+        base = (127.5 + 40.0 * base).clip(0, 255).astype(np.uint8)
         out = np.empty((len(frame_indices), H, W, 3), dtype=np.uint8)
         for n, i in enumerate(frame_indices):
             out[n] = np.roll(base, shift=int(i) * 3, axis=1)

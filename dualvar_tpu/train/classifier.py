@@ -529,30 +529,83 @@ def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
     return out
 
 
+def _override(group, args, names):
+    kw = {n: getattr(args, n) for n in names if getattr(args, n) is not None}
+    return dataclasses.replace(group, **kw) if kw else group
+
+
 def main():
+    """Flag surface mirrors the reference parser (classifier.py:38-108); a
+    preset supplies the defaults, every flag overrides it."""
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="smoke", choices=sorted(CLASSIFIER_PRESETS))
     p.add_argument("--test", default="",
                    choices=["", "center", "five", "ten", "temporal_ten_clip",
                             "retrieval"])
+    # model / probe group
+    p.add_argument("--net", default=None)
     p.add_argument("--train_what", default=None, choices=[None, "ft", "last"])
-    p.add_argument("--pretrain", default=None)
-    p.add_argument("--resume", default=None)
+    p.add_argument("--use_dropout", action="store_const", const=True, default=None)
+    p.add_argument("--use_norm", dest="use_l2_norm", action="store_const",
+                   const=True, default=None)
+    p.add_argument("--use_bn", dest="use_final_bn", action="store_const",
+                   const=True, default=None)
+    p.add_argument("--dropout", type=float, default=None)
+    # dataset group
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--which_split", type=int, default=None)
+    p.add_argument("--seq_len", type=int, default=None)
+    p.add_argument("--ds", type=int, default=None)
+    p.add_argument("--img_dim", type=int, default=None)
+    p.add_argument("-j", "--workers", type=int, default=None)
     p.add_argument("--data_root", default=None)
     p.add_argument("--db_path", default=None)
+    # optim group
+    p.add_argument("--optim", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--wd", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--schedule", nargs="*", type=int, default=None)
+    # run group
+    p.add_argument("--prefix", default=None)
+    p.add_argument("--name_prefix", default=None)
+    p.add_argument("--print_freq", type=int, default=None)
+    p.add_argument("--eval_freq", type=int, default=None)
+    p.add_argument("--save_freq", type=int, default=None)
+    p.add_argument("--pretrain", default=None)
+    p.add_argument("--resume", default=None)
     p.add_argument("--max_steps", type=int, default=None)
     args = p.parse_args()
+
     cfg = CLASSIFIER_PRESETS[args.preset]
-    if args.train_what:
-        cfg = dataclasses.replace(cfg, train_what=args.train_what)
-    if args.pretrain or args.resume:
-        cfg = dataclasses.replace(cfg, run=dataclasses.replace(
-            cfg.run, pretrain=args.pretrain or cfg.run.pretrain,
-            resume=args.resume or cfg.run.resume))
+    num_class_by_dataset = {"ucf101": 101, "hmdb51": 51}
+    if args.dataset:
+        cfg = dataclasses.replace(
+            cfg, num_class=num_class_by_dataset.get(
+                args.dataset.split("-")[0], cfg.num_class))
+    data = _override(cfg.data, args,
+                     ("dataset", "which_split", "seq_len", "ds", "img_dim",
+                      "workers", "data_root", "db_path"))
     if args.data_root or args.db_path:
-        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
-            cfg.data, data_root=args.data_root or cfg.data.data_root,
-            db_path=args.db_path or cfg.data.db_path, synthetic=False))
+        data = dataclasses.replace(data, synthetic=False)
+    cfg = dataclasses.replace(
+        cfg,
+        data=data,
+        model=_override(cfg.model, args, ("net",)),
+        optim=_override(
+            dataclasses.replace(
+                cfg.optim,
+                schedule=tuple(args.schedule) if args.schedule else cfg.optim.schedule),
+            args, ("optim", "batch_size", "lr", "wd", "epochs")),
+        run=_override(cfg.run, args,
+                      ("prefix", "name_prefix", "print_freq", "eval_freq",
+                       "save_freq", "pretrain", "resume")),
+    )
+    for name in ("train_what", "use_dropout", "use_l2_norm", "use_final_bn",
+                 "dropout"):
+        if getattr(args, name) is not None:
+            cfg = dataclasses.replace(cfg, **{name: getattr(args, name)})
 
     if args.test == "retrieval":
         test_retrieval(cfg)

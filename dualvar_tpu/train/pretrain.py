@@ -174,7 +174,6 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
         img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,
         aug_temp_consist=cfg.aug.aug_temp_consist,
         aug_temp_grad_consist=cfg.aug.aug_temp_grad_consist,
-        out_dtype=cfg.model.dtype,
     )
     task = make_task(cfg.model)
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
@@ -295,38 +294,81 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
     return final_metrics
 
 
+def _override(group, args, names):
+    """dataclasses.replace(group) with every non-None CLI value in names."""
+    kw = {n: getattr(args, n) for n in names if getattr(args, n) is not None}
+    return dataclasses.replace(group, **kw) if kw else group
+
+
 def main():
+    """Flag surface mirrors the reference parser (pretrain.py:90-164); a
+    preset supplies the defaults, every flag overrides it."""
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="smoke", choices=sorted(PRETRAIN_PRESETS))
-    p.add_argument("--name_prefix", default=None)
+    # model group
+    p.add_argument("--net", default=None)
+    p.add_argument("--model", default=None)
+    p.add_argument("--mode", "--series_mode", dest="mode", default=None,
+                   choices=[None, "clip-sr-tc", "clip-sr", "clip-sr-dtw"])
+    p.add_argument("--n_series", type=int, default=None)
+    p.add_argument("--series_dim", type=int, default=None)
+    p.add_argument("--shufflerank_theta", type=float, default=None)
+    p.add_argument("--series_T", type=float, default=None)
+    p.add_argument("--aligned_T", type=float, default=None)
+    p.add_argument("--moco-dim", dest="moco_dim", type=int, default=None)
+    p.add_argument("--moco-k", dest="moco_k", type=int, default=None)
+    p.add_argument("--moco-m", dest="moco_m", type=float, default=None)
+    p.add_argument("--moco-t", dest="moco_t", type=float, default=None)
+    # dataset group
+    p.add_argument("--dataset", default=None)
     p.add_argument("--data_root", default=None)
     p.add_argument("--db_path", default=None)
+    p.add_argument("--seq_len", type=int, default=None)
+    p.add_argument("--ds", type=int, default=None)
+    p.add_argument("--img_dim", type=int, default=None)
+    p.add_argument("-j", "--workers", type=int, default=None)
+    # optim group
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--wd", type=float, default=None)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--start_epoch", type=int, default=None)
+    p.add_argument("--schedule", nargs="*", type=int, default=None)
+    # run group
+    p.add_argument("--prefix", default=None)
+    p.add_argument("--name_prefix", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--print_freq", type=int, default=None)
+    p.add_argument("--eval_freq", type=int, default=None)
+    p.add_argument("--save_freq", type=int, default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--pretrain", default=None)
+    # driver extras
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--profile_steps", type=int, default=0)
     args = p.parse_args()
+
     cfg = PRETRAIN_PRESETS[args.preset]
+    data = _override(cfg.data, args,
+                     ("dataset", "data_root", "db_path", "seq_len", "ds",
+                      "img_dim", "workers"))
     if args.data_root or args.db_path:
-        cfg = cfg.replace(data=dataclasses.replace(
-            cfg.data,
-            data_root=args.data_root or cfg.data.data_root,
-            db_path=args.db_path or cfg.data.db_path,
-            synthetic=False,
-        ))
-    if args.batch_size or args.epochs:
-        cfg = cfg.replace(optim=dataclasses.replace(
-            cfg.optim,
-            batch_size=args.batch_size or cfg.optim.batch_size,
-            epochs=args.epochs or cfg.optim.epochs,
-        ))
-    if args.name_prefix or args.resume:
-        cfg = cfg.replace(run=dataclasses.replace(
-            cfg.run,
-            name_prefix=args.name_prefix or cfg.run.name_prefix,
-            resume=args.resume or cfg.run.resume,
-        ))
+        data = dataclasses.replace(data, synthetic=False)
+    cfg = cfg.replace(
+        data=data,
+        model=_override(cfg.model, args,
+                        ("net", "model", "mode", "n_series", "series_dim",
+                         "shufflerank_theta", "series_T", "aligned_T",
+                         "moco_dim", "moco_k", "moco_m", "moco_t")),
+        optim=_override(
+            dataclasses.replace(
+                cfg.optim,
+                schedule=tuple(args.schedule) if args.schedule else cfg.optim.schedule),
+            args, ("batch_size", "lr", "wd", "epochs", "start_epoch")),
+        run=_override(cfg.run, args,
+                      ("prefix", "name_prefix", "seed", "print_freq",
+                       "eval_freq", "save_freq", "resume", "pretrain")),
+    )
     train(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps)
 
 

@@ -1,7 +1,13 @@
 """Does training actually learn? Run N steps of SimCLR (naked or full
 DualVar) on the deterministic synthetic dataset and watch the contrastive
-top-1 accuracy climb far above chance. The synthetic videos are mutually
-distinguishable, so the instance-discrimination task is learnable.
+loss drop well below the chance plateau ln(2B-1). The synthetic videos are
+low-frequency patterns, so the instance-discrimination task is learnable.
+
+Found while building this check: lr 0.03 at batch 16 collapses the
+embeddings within one step (loss pins at exactly ln(2B-1)); the reference
+recipe's lr 0.003 learns steadily. Untrained 3D-CNN embeddings start out
+nearly collapsed anyway (mean pairwise cosine ~0.99), so progress shows up
+in the loss before top-1.
 
 Usage: python scripts/learning_check.py [steps] [model]
 """
@@ -24,20 +30,24 @@ def main(steps: int = 60, model: str = "simclr_naked"):
                                  workers=4),
         model=ModelConfig(net="r3d", model=model, dtype="bfloat16",
                           moco_k=32),
-        optim=dataclasses.replace(cfg.optim, batch_size=16, lr=0.03,
-                                  epochs=1000, schedule=(999,)),
+        optim=dataclasses.replace(cfg.optim, batch_size=16, lr=0.003,
+                                  epochs=10000, schedule=(9999,)),
         run=dataclasses.replace(cfg.run, prefix="learning_check",
                                 print_freq=10, eval_freq=1000,
                                 save_freq=1000),
     )
+    import math
+
     metrics = train(cfg, max_steps=steps)
+    loss = metrics.get("clip_loss", float("inf"))
     top1 = metrics.get("clip_top1", 0.0)
-    print(f"final clip_top1 after {steps} steps: {top1:.3f} "
-          f"(chance ~ {1 / (2 * 16):.3f})")
-    assert top1 > 0.3, "training did not learn"
+    chance_loss = math.log(2 * 16 - 1)
+    print(f"after {steps} steps: clip_loss {loss:.3f} "
+          f"(chance plateau {chance_loss:.3f}), clip_top1 {top1:.3f}")
+    assert loss < chance_loss - 0.4, "training did not learn"
     print("learning check PASSED")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 60,
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300,
          sys.argv[2] if len(sys.argv) > 2 else "simclr_naked")
