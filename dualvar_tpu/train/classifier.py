@@ -347,9 +347,7 @@ def _load_test_state(cfg: ClassifierConfig, model, logger):
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     if cfg.run.resume:  # path to a classifier checkpoint dir
         store = CheckpointStore(cfg.run.resume)
-        state = store.restore(template={
-            "step": np.zeros((), np.int32), "params": params,
-            "batch_stats": batch_stats, "opt_state": None})
+        state = store.restore()  # template-free: raw array tree
         params, batch_stats = state["params"], state["batch_stats"]
         logger.info(f"=> loaded test checkpoint '{cfg.run.resume}'")
     elif cfg.run.pretrain:  # retrieval directly from a pretrain checkpoint

@@ -85,3 +85,18 @@ def test_pretrain_loop_and_resume(tmp_path):
     cfg2 = cfg.replace(run=dataclasses.replace(cfg.run, resume="auto"))
     m2 = train(cfg2, max_steps=4)
     assert np.isfinite(m2["total_loss"])
+
+
+def test_temporal_tenclip_resumes_trained_checkpoint(clf_cfg, tmp_path):
+    """Train -> save -> run a test protocol from the saved checkpoint
+    (the reference --test path, classifier.py:274-319)."""
+    import dataclasses as dc
+    import os
+
+    from dualvar_tpu.train.classifier import set_path, test_temporal_tenclip, train
+
+    train(clf_cfg, max_steps=1)
+    ckpt_dir = os.path.join(set_path(clf_cfg), "model")
+    cfg = dc.replace(clf_cfg, run=dc.replace(clf_cfg.run, resume=ckpt_dir))
+    out = test_temporal_tenclip(cfg)
+    assert 0.0 <= out["top1"] <= 1.0

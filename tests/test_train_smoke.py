@@ -149,3 +149,11 @@ def test_backbone_graft():
     np.testing.assert_array_equal(
         grafted["params"]["final_fc"]["bias"],
         clf_vars["params"]["final_fc"]["bias"])
+
+
+def test_simclr_dtw_mode_train_step_sharded():
+    """Full train step with the soft-DTW-aligned TC loss (mode clip-sr-dtw)
+    on the 8-device mesh — the Pallas kernel's XLA-oracle path on CPU."""
+    state, m1, m2 = _run_two_steps("simclr_timeseriesv4", mode="clip-sr-dtw")
+    assert "tc_loss" in m1
+    assert m1["tc_loss"] != m2["tc_loss"]
