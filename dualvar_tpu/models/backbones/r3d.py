@@ -13,7 +13,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import BatchNorm, Conv3d
+from ..layers import BatchNorm, Conv3d, StemConv7x7
 
 
 class ResBlock3d(nn.Module):
@@ -49,12 +49,16 @@ class R3DNet(nn.Module):
     """Reference backbone/r3d.py:126-157 (R3DNet)."""
 
     layer_sizes: Sequence[int] = (1, 1, 1, 1)
+    s2d_stem: bool = False  # space-to-depth stem (numerically identical)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv3d(64, (3, 7, 7), stride=(1, 2, 2), padding=(1, 3, 3),
-                   use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.s2d_stem and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+            x = StemConv7x7(64, kt=3, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = Conv3d(64, (3, 7, 7), stride=(1, 2, 2), padding=(1, 3, 3),
+                       use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train)
         x = nn.relu(x)
         widths = (64, 128, 256, 512)

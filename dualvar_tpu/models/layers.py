@@ -177,3 +177,55 @@ def l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
     """torch F.normalize parity: x / max(||x||, eps)."""
     norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
     return x / jnp.maximum(norm, eps)
+
+
+class StemConv7x7(nn.Module):
+    """Drop-in for ``Conv3d(features, (kt,7,7), stride (1,2,2), pad (kt//2,3,3),
+    no bias)`` evaluated via space-to-depth (see stem_conv_s2d). Identical
+    parameter tree ({'kernel'}) and init, so checkpoints interchange with the
+    plain stem."""
+
+    features: int
+    kt: int = 3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kshape = (self.kt, 7, 7, x.shape[-1], self.features)
+        kernel = self.param("kernel", torch_conv_kernel_init, kshape,
+                            self.param_dtype)
+        return stem_conv_s2d(x.astype(self.dtype), kernel.astype(self.dtype))
+
+
+def stem_conv_s2d(x: Array, kernel: Array) -> Array:
+    """Space-to-depth evaluation of the stem conv: mathematically identical to
+    a (kt,7,7) conv with stride (1,2,2) and padding (1,3,3), but executed as a
+    (kt,4,4) stride-1 conv on 2x2-space-to-depth input with 4x the channels.
+
+    Why: the stem sees C=3 channels, which occupies 3/128 of an MXU tile; the
+    s2d form feeds 12 channels over a quarter the spatial positions — the
+    standard TPU ResNet-stem rewrite. Parameters keep the original (kt,7,7,C,O)
+    layout (checkpoint-compatible); the kernel is re-laid-out inside the
+    traced graph, which XLA folds into a constant per compilation.
+
+    Derivation: with xp = pad(x, 3) and w8 = pad(w, 7->8 taps on the right),
+    y[p] = sum_k w8[k] xp[2p+k]; writing k = 2m+phi gives a 4-tap VALID conv
+    over the s2d cells q with channel index (phi_h, phi_w, c).
+    """
+    B, T, H, W, C = x.shape
+    kt, kh, kw, Cin, O = kernel.shape
+    assert (kh, kw) == (7, 7) and Cin == C and H % 2 == 0 and W % 2 == 0
+    xp = jnp.pad(x, ((0, 0), (0, 0), (3, 3), (3, 3), (0, 0)))
+    Hq, Wq = (H + 6) // 2, (W + 6) // 2
+    xs = xp.reshape(B, T, Hq, 2, Wq, 2, C)
+    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, Hq, Wq, 4 * C)
+    w8 = jnp.pad(kernel, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
+    ws = w8.reshape(kt, 4, 2, 4, 2, C, O)
+    ws = ws.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * C, O)
+    tp = kt // 2
+    return jax.lax.conv_general_dilated(
+        xs, ws.astype(xs.dtype), (1, 1, 1),
+        [(tp, tp), (0, 0), (0, 0)],
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+    )

@@ -54,3 +54,22 @@ def test_backbone_contract(net):
         lambda v, x: model.apply(v, x, train=False), variables, x
     )
     assert tuple(out.shape) == out_shape
+
+
+def test_r3d_s2d_stem_equivalent():
+    """Space-to-depth stem evaluates to the same function as the plain
+    stride-2 stem (checkpoint-compatible parameter tree)."""
+    from dualvar_tpu.models.backbones.r3d import R3DNet
+
+    plain = R3DNet()
+    s2d = R3DNet(s2d_stem=True)
+    x = jnp.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 32, 36, 3)))
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    y0 = plain.apply(variables, x, train=False)
+    y1 = s2d.apply(variables, x, train=False)
+    assert y0.shape == y1.shape
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
