@@ -206,9 +206,16 @@ def gaussian_blur(clip: Array, sigma: Array, taps: int = 13) -> Array:
     return out
 
 
-def random_gray_channel_split(key: Array, clip: Array, p: float = 0.8) -> Array:
+def random_gray_channel_split(key: Array, clip: Array, p: float = 0.8,
+                              block: int = 1) -> Array:
     """'RandomGray' — replicate one random channel over all three with prob p,
-    one draw per clip (augmentation.py:373-426, block=1 consistent)."""
+    one draw per clip (augmentation.py:373-426, consistent). ``block`` > 1
+    draws per spatial grid cell (the blockwise channel-split variant)."""
+    if block > 1:
+        return _blockwise(
+            lambda k, c: random_gray_channel_split(k, c, p, block=1),
+            key, clip, block,
+        )
     kc, kp = jax.random.split(key)
     ch = jax.random.randint(kc, (), 0, 3)
     picked = jnp.take(clip, ch, axis=-1)[..., None]
@@ -217,9 +224,14 @@ def random_gray_channel_split(key: Array, clip: Array, p: float = 0.8) -> Array:
     return jnp.where(do, gray, clip)
 
 
-def channel_mask(key: Array, clip: Array, p: float = 0.75) -> Array:
+def channel_mask(key: Array, clip: Array, p: float = 0.75,
+                 block: int = 1) -> Array:
     """Zero one random RGB channel with prob p, one draw per clip
-    (augmentation.py:663-703, block=1 consistent)."""
+    (augmentation.py:663-703, consistent). ``block`` > 1 draws per spatial
+    grid cell."""
+    if block > 1:
+        return _blockwise(lambda k, c: channel_mask(k, c, p, block=1),
+                          key, clip, block)
     kf, = jax.random.split(key, 1)
     randfloat = jax.random.uniform(kf)
     rgb_ind = (randfloat * 100.0).astype(jnp.int32) // jnp.int32(100 * (p / 3.0)) - 1
@@ -234,6 +246,101 @@ def channel_mask(key: Array, clip: Array, p: float = 0.75) -> Array:
 # color jitter — the reference's consistent / per-frame / gradient-consistent
 # variants as factor tensors + a random op order
 # --------------------------------------------------------------------------
+
+def _blockwise(op, key: Array, clip: Array, block: int):
+    """Apply a keyed per-clip op independently to a (block x block) spatial
+    grid (the reference's block machinery, augmentation.py:587-618). Requires
+    H and W divisible by block (true for the 112/128 training dims)."""
+    T, H, W, C = clip.shape
+    g = block
+    assert H % g == 0 and W % g == 0, (H, W, g)
+    hu, wu = H // g, W // g
+    tiles = clip.reshape(T, g, hu, g, wu, C).transpose(1, 3, 0, 2, 4, 5)
+    tiles = tiles.reshape(g * g, T, hu, wu, C)
+    keys = jax.random.split(key, g * g)
+    out = jax.vmap(op)(keys, tiles)
+    out = out.reshape(g, g, T, hu, wu, C).transpose(2, 0, 3, 1, 4, 5)
+    return out.reshape(T, H, W, C)
+
+
+def random_sized_crop(
+    key: Array, clip: Array, size: int, p: float = 1.0,
+    area_range: tuple[float, float] = (0.5, 1.0),
+    ratio_range: tuple[float, float] = (3 / 4, 4 / 3),
+) -> Array:
+    """Clip-consistent random resized crop (reference augmentation.py:261-312):
+    sample a target area fraction and aspect ratio, crop, resize to
+    ``size`` x ``size``; with prob 1-p, center-crop instead.
+
+    Branchless form: instead of the reference's 10-attempt rejection loop the
+    sampled window is clamped to the image bounds, and the resample uses
+    ``jax.image.scale_and_translate`` so the dynamic window needs no dynamic
+    shapes.
+    """
+    T, H, W, C = clip.shape
+    k_p, k_area, k_ratio, k_swap, k_x, k_y = jax.random.split(key, 6)
+    area = jax.random.uniform(k_area, minval=area_range[0], maxval=area_range[1])
+    ratio = jax.random.uniform(k_ratio, minval=ratio_range[0],
+                               maxval=ratio_range[1])
+    target = area * H * W
+    w = jnp.sqrt(target * ratio)
+    h = jnp.sqrt(target / ratio)
+    swap = jax.random.uniform(k_swap) < 0.5  # reference's 50% w/h swap
+    w, h = jnp.where(swap, h, w), jnp.where(swap, w, h)
+    w = jnp.clip(w, 8.0, W)
+    h = jnp.clip(h, 8.0, H)
+    x0 = jax.random.uniform(k_x) * (W - w)
+    y0 = jax.random.uniform(k_y) * (H - h)
+    do = jax.random.uniform(k_p) < p
+    # center-crop fallback window
+    cw = jnp.float32(min(H, W, size) if size <= min(H, W) else min(H, W))
+    x0 = jnp.where(do, x0, (W - cw) / 2)
+    y0 = jnp.where(do, y0, (H - cw) / 2)
+    w = jnp.where(do, w, cw)
+    h = jnp.where(do, h, cw)
+    scale = jnp.stack([size / h, size / w])
+    translation = jnp.stack([-y0 * size / h, -x0 * size / w])
+    return jax.image.scale_and_translate(
+        clip, (T, size, size, C), (1, 2), scale, translation,
+        method="bilinear",
+    )
+
+
+def random_rotation(key: Array, clip: Array, degree: float = 15.0,
+                    p: float = 1.0) -> Array:
+    """Clip-consistent random rotation (reference augmentation.py:344-358).
+
+    Divergence: the reference rotates with expand=True (output grows with the
+    angle — a dynamic shape); here the canvas is fixed and out-of-frame
+    pixels are zero. The released pipelines never use rotation.
+    """
+    from jax.scipy.ndimage import map_coordinates
+
+    T, H, W, C = clip.shape
+    k_p, k_deg = jax.random.split(key)
+    deg = jax.random.uniform(k_deg, minval=-degree, maxval=degree)
+    do = jax.random.uniform(k_p) < p
+    theta = jnp.where(do, deg * jnp.pi / 180.0, 0.0)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) - cy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) - cx
+    src_y = cy + yy * jnp.cos(theta) - xx * jnp.sin(theta)
+    src_x = cx + yy * jnp.sin(theta) + xx * jnp.cos(theta)
+
+    def rot_frame(frame):  # (H, W, C)
+        def chan(c):
+            return map_coordinates(c, [src_y, src_x], order=1, cval=0.0)
+
+        return jnp.stack([chan(frame[..., i]) for i in range(C)], axis=-1)
+
+    return jax.vmap(rot_frame)(clip)
+
+
+def pad_frames(clip: Array, pad: int, value: float = 0.0) -> Array:
+    """Border padding (reference Padding / ImageOps.expand, augmentation.py:117-122)."""
+    return jnp.pad(clip, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                   constant_values=value)
+
 
 _JITTER_RANGES = dict(brightness=0.8, contrast=0.8, saturation=0.8, hue=0.2)
 
@@ -291,12 +398,20 @@ def color_jitter(
     hue: float = 0.2,
     p: float = 0.8,
     mode: str = "consistent",
+    block: int = 1,
 ) -> Array:
-    """Reference ColorJitter (augmentation.py:429-652, block=1): with
-    probability ``p`` apply the four adjustments with random factors in a
-    random order; otherwise identity. Branchless: the no-apply case uses
-    identity factors.
+    """Reference ColorJitter (augmentation.py:429-652): with probability ``p``
+    apply the four adjustments with random factors in a random order;
+    otherwise identity. Branchless: the no-apply case uses identity factors.
+    ``block`` > 1 draws independent factors/order/apply per spatial grid cell
+    (the blockwise variant, augmentation.py:596-618).
     """
+    if block > 1:
+        return _blockwise(
+            lambda k, c: color_jitter(k, c, brightness, contrast, saturation,
+                                      hue, p, mode, block=1),
+            key, clip, block,
+        )
     k_apply, k_factors, k_order = jax.random.split(key, 3)
     T = clip.shape[0]
     f = sample_jitter_factors(k_factors, T, brightness, contrast, saturation,

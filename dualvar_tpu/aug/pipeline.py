@@ -129,6 +129,67 @@ def tenclip_sample(frames_u8: Array, cfg: AugConfig) -> Array:
     return jax.vmap(lambda c: _finish(F.center_crop(c, cfg.img_dim), cfg))(clips)
 
 
+# generic multi-clip composers (reference augmentation.py:733-894) ---------
+#
+# Each takes keyed per-clip transform callables `fn(key, clip) -> clip` with
+# identical output shapes (a lax.switch requirement) and composes them the way
+# the reference's PIL-list composers did.
+
+def transform_controller(key: Array, clip: Array, fns, weights) -> Array:
+    """Pick one transform by weight and apply it (reference
+    TransformController, augmentation.py:869-882)."""
+    k_pick, k_apply = jax.random.split(key)
+    cum = jnp.cumsum(jnp.asarray(weights) / sum(weights))
+    idx = jnp.searchsorted(cum, jax.random.uniform(k_pick), side="right")
+    return jax.lax.switch(jnp.minimum(idx, len(fns) - 1),
+                          [lambda c, f=f: f(k_apply, c) for f in fns], clip)
+
+
+def randomized_transform(key: Array, frames: Array, fns, weights,
+                         seq_len: int) -> Array:
+    """Per-clip weighted transform choice over a multi-clip frame list
+    (reference RandomizedTransform, augmentation.py:813-839). ``weights`` may
+    be one distribution (shared) or one per clip (MultiRandomizedTransform,
+    augmentation.py:782-810)."""
+    n_clips = frames.shape[0] // seq_len
+    clips = frames.reshape(n_clips, seq_len, *frames.shape[1:])
+    if not hasattr(weights[0], "__len__"):
+        weights = [weights] * n_clips
+    keys = jax.random.split(key, n_clips)
+    out = [transform_controller(keys[i], clips[i], fns, weights[i])
+           for i in range(n_clips)]
+    return jnp.concatenate(out, axis=0)
+
+
+def two_clip_transform(key: Array, frames: Array, base_fn, null_fn,
+                       seq_len: int, p: float = 0.3) -> Array:
+    """Each of two clips independently gets base with prob p else null
+    (reference TwoClipTransform, augmentation.py:733-758)."""
+    return randomized_transform(key, frames, [base_fn, null_fn],
+                                [p, 1.0 - p], seq_len)
+
+
+def one_clip_transform(key: Array, frames: Array, base_fn, null_fn,
+                       seq_len: int) -> Array:
+    """Keep one of the two clips (random), produce [base(x), null(x)] in a
+    random order (reference OneClipTransform, augmentation.py:842-866)."""
+    k_half, k_order, k1, k2 = jax.random.split(key, 4)
+    clips = frames.reshape(2, seq_len, *frames.shape[1:])
+    x = jnp.where(jax.random.uniform(k_half) < 0.5, clips[0], clips[1])
+    a, b = base_fn(k1, x), null_fn(k2, x)
+    swap = jax.random.uniform(k_order) < 0.5
+    q = jnp.where(swap, a, b)
+    k = jnp.where(swap, b, a)
+    return jnp.concatenate([q, k], axis=0)
+
+
+def two_crops_transform(key: Array, clip: Array, base_fn) -> Array:
+    """Two independent draws of the same pipeline -> (2, ...) views
+    (reference TwoCropsTransform, augmentation.py:886-894)."""
+    k1, k2 = jax.random.split(key)
+    return jnp.stack([base_fn(k1, clip), base_fn(k2, clip)])
+
+
 # batched, jitted entry points --------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg",))

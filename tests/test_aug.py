@@ -158,3 +158,87 @@ def test_tencrop_and_tenclip_batches():
         0, 255, (2, 40, 24, 20, 3), dtype=np.uint8))
     out = tenclip_batch(frames10, cfg)
     assert out.shape == (2, 10, 4, 16, 16, 3)
+
+
+def test_blockwise_color_jitter_blocks_differ():
+    frame = np.random.RandomState(3).rand(16, 16, 3).astype(np.float32)
+    clip = jnp.array(np.stack([frame] * 2))
+    out = np.array(F.color_jitter(jax.random.PRNGKey(0), clip, p=1.0,
+                                  mode="consistent", block=2))
+    assert out.shape == clip.shape
+    # the four 8x8 blocks got different factor draws
+    tl, tr = out[0, :8, :8], out[0, :8, 8:]
+    assert np.abs(tl - tr).max() > 1e-3 or not np.allclose(
+        np.array(clip)[0, :8, :8] - tl, np.array(clip)[0, :8, 8:] - tr)
+
+
+def test_blockwise_gray_and_channel_mask():
+    clip = jnp.array(np.random.RandomState(4).rand(2, 16, 16, 3)
+                     .astype(np.float32))
+    g = F.random_gray_channel_split(jax.random.PRNGKey(1), clip, p=1.0,
+                                    block=2)
+    assert g.shape == clip.shape
+    m = F.channel_mask(jax.random.PRNGKey(2), clip, p=1.0, block=2)
+    assert m.shape == clip.shape
+
+
+def test_random_sized_crop_shapes_and_fallback():
+    clip = jnp.array(np.random.RandomState(5).rand(3, 40, 36, 3)
+                     .astype(np.float32))
+    out = F.random_sized_crop(jax.random.PRNGKey(0), clip, 24, p=1.0)
+    assert out.shape == (3, 24, 24, 3)
+    assert bool(jnp.isfinite(out).all())
+    # p=0: deterministic center-crop+resize path
+    a = F.random_sized_crop(jax.random.PRNGKey(1), clip, 24, p=0.0)
+    b = F.random_sized_crop(jax.random.PRNGKey(2), clip, 24, p=0.0)
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-6)
+
+
+def test_random_rotation_identity_at_p0():
+    clip = jnp.array(np.random.RandomState(6).rand(2, 20, 20, 3)
+                     .astype(np.float32))
+    out = F.random_rotation(jax.random.PRNGKey(0), clip, degree=15, p=0.0)
+    np.testing.assert_allclose(np.array(out), np.array(clip), atol=1e-5)
+    rot = F.random_rotation(jax.random.PRNGKey(0), clip, degree=30, p=1.0)
+    assert np.abs(np.array(rot) - np.array(clip)).max() > 0.05
+
+
+def test_pad_frames():
+    clip = jnp.ones((2, 4, 4, 3))
+    out = F.pad_frames(clip, 2)
+    assert out.shape == (2, 8, 8, 3)
+    assert float(out[0, 0, 0, 0]) == 0.0
+
+
+def test_composers():
+    from dualvar_tpu.aug.pipeline import (
+        one_clip_transform,
+        randomized_transform,
+        transform_controller,
+        two_clip_transform,
+        two_crops_transform,
+    )
+
+    clip = jnp.array(np.random.RandomState(7).rand(4, 8, 8, 3)
+                     .astype(np.float32))
+    ident = lambda k, c: c
+    bright = lambda k, c: jnp.clip(c * 1.5, 0, 1)
+
+    out = transform_controller(jax.random.PRNGKey(0), clip,
+                               [ident, bright], [0.0, 1.0])
+    np.testing.assert_allclose(np.array(out), np.clip(np.array(clip) * 1.5, 0, 1),
+                               atol=1e-6)
+
+    frames = jnp.concatenate([clip, clip], axis=0)  # two clips of 4
+    out = two_clip_transform(jax.random.PRNGKey(1), frames, bright, ident, 4,
+                             p=1.0)
+    assert out.shape == frames.shape
+    out = randomized_transform(jax.random.PRNGKey(2), frames,
+                               [ident, bright], [[1.0, 0.0], [0.0, 1.0]], 4)
+    np.testing.assert_allclose(np.array(out[:4]), np.array(clip), atol=1e-6)
+
+    out = one_clip_transform(jax.random.PRNGKey(3), frames, bright, ident, 4)
+    assert out.shape == frames.shape
+
+    out = two_crops_transform(jax.random.PRNGKey(4), clip, bright)
+    assert out.shape == (2, 4, 8, 8, 3)
