@@ -93,6 +93,13 @@ class SimCLRNaked(nn.Module):
         emb = self.encode(x, train).reshape(B, n_views, -1)
         return nt_xent_loss(emb, self.temperature, "clip_")
 
+    def get_features(self, x, train: bool = False):
+        """Per-stage channel-mean attention maps for visualization
+        (reference model/simclr.py:123-127 get_features; requires a backbone
+        with a multi_level forward, i.e. r21d)."""
+        _, feats = self.backbone(x, train=train, multi_level=True)
+        return [jnp.mean(f, axis=-1) for f in feats]
+
 
 class SimCLRTimeSeriesV4(nn.Module):
     """Reference model/simclr.py:130-400 (SimCLR_TimeSeriesV4)."""
