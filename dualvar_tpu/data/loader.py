@@ -106,18 +106,24 @@ class SyntheticFrameSource:
         H, W = self.scale
         import zlib
 
-        seed = zlib.crc32(vname.encode())  # stable across processes, unlike hash()
-        rng = np.random.default_rng(seed)
+        # class determines the wave frequencies (so classification is
+        # learnable); the video id adds phases/amplitudes (so instance
+        # discrimination within a class is too). crc32: stable across
+        # processes, unlike hash().
+        cls_part = vname.split("/")[0]
+        cls_rng = np.random.default_rng(zlib.crc32(cls_part.encode()))
+        vid_rng = np.random.default_rng(zlib.crc32(vname.encode()))
         y = np.arange(H)[:, None] / H
         x = np.arange(W)[None, :] / W
         base = np.zeros((H, W, 3), np.float32)
         for c in range(3):
             for _ in range(3):
-                fy, fx = rng.uniform(0.5, 4.0, 2)
-                phase = rng.uniform(0, 2 * np.pi)
-                base[..., c] += np.sin(
+                fy, fx = cls_rng.uniform(0.5, 4.0, 2)
+                phase = vid_rng.uniform(0, 2 * np.pi)
+                amp = vid_rng.uniform(0.5, 1.0)
+                base[..., c] += amp * np.sin(
                     2 * np.pi * (fy * y + fx * x) + phase).astype(np.float32)
-        base = (127.5 + 40.0 * base).clip(0, 255).astype(np.uint8)
+        base = (127.5 + 50.0 * base).clip(0, 255).astype(np.uint8)
         out = np.empty((len(frame_indices), H, W, 3), dtype=np.uint8)
         for n, i in enumerate(frame_indices):
             out[n] = np.roll(base, shift=int(i) * 3, axis=1)

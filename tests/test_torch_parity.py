@@ -133,3 +133,52 @@ def test_r3d_train_mode_batch_stats_match_torch():
     np.testing.assert_allclose(
         np.asarray(updated["batch_stats"]["bn"]["var"]),
         tbn.running_var.detach().numpy(), atol=1e-4, rtol=1e-3)
+
+
+class TorchC3D(nn.Module):
+    """C3D spec: 5 conv stages w/ BN + pools (reference backbone/c3d.py)."""
+
+    def __init__(self):
+        super().__init__()
+        chans = [(3, 64), (64, 128), (128, 256), (256, 256), (256, 512),
+                 (512, 512), (512, 512), (512, 512)]
+        self.convs = nn.ModuleList(
+            [nn.Conv3d(i, o, 3, padding=1) for i, o in chans])
+        self.bns = nn.ModuleList([nn.BatchNorm3d(o) for _, o in chans])
+
+    def forward(self, x):
+        pools = {0: (1, 2, 2), 1: 2, 3: 2, 5: 2}
+        for i, (c, b) in enumerate(zip(self.convs, self.bns)):
+            x = torch.relu(b(c(x)))
+            if i in pools:
+                x = torch.nn.functional.max_pool3d(x, pools[i])
+        return x
+
+
+def test_c3d_matches_torch_eval_mode():
+    torch.manual_seed(2)
+    tm = TorchC3D().eval()
+    for m in tm.modules():
+        if isinstance(m, nn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+
+    model, _ = select_backbone("c3d")
+    x_np = np.random.RandomState(2).rand(1, 3, 8, 32, 32).astype(np.float32)
+    xj = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))
+    variables = model.init(jax.random.PRNGKey(0), xj, train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    names = ["1", "2", "3a", "3b", "4a", "4b", "5a", "5b"]
+    for name, conv, bn in zip(names, tm.convs, tm.bns):
+        params[f"conv{name}"]["kernel"] = t2j_conv(conv.weight)
+        params[f"conv{name}"]["bias"] = jnp.asarray(conv.bias.detach().numpy())
+        copy_bn(bn, params[f"bn{name}"]["bn"], stats[f"bn{name}"]["bn"])
+
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x_np)).numpy()
+    yj = model.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+    assert yt.shape == yj.shape
+    np.testing.assert_allclose(yj, yt, atol=2e-4, rtol=1e-3)
