@@ -182,3 +182,116 @@ def test_c3d_matches_torch_eval_mode():
     yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
     assert yt.shape == yj.shape
     np.testing.assert_allclose(yj, yt, atol=2e-4, rtol=1e-3)
+
+
+class TorchSTConv(nn.Module):
+    """Factored (2+1)D conv with the paper's intermediate-channel formula
+    (reference backbone/r21d.py:11-70)."""
+
+    def __init__(self, cin, cout, k, stride=1, padding=0):
+        super().__init__()
+        import math as m
+
+        def trip(v):
+            return (v, v, v) if isinstance(v, int) else v
+
+        k, s, p = trip(k), trip(stride), trip(padding)
+        mid = int(m.floor((k[0] * k[1] * k[2] * cin * cout)
+                          / (k[1] * k[2] * cin + k[0] * cout)))
+        self.spatial = nn.Conv3d(cin, mid, (1, k[1], k[2]),
+                                 stride=(1, s[1], s[2]),
+                                 padding=(0, p[1], p[2]), bias=False)
+        self.bn = nn.BatchNorm3d(mid)
+        self.temporal = nn.Conv3d(mid, cout, (k[0], 1, 1),
+                                  stride=(s[0], 1, 1),
+                                  padding=(p[0], 0, 0), bias=False)
+
+    def forward(self, x):
+        return self.temporal(torch.relu(self.bn(self.spatial(x))))
+
+
+class TorchR21DBlock(nn.Module):
+    def __init__(self, cin, cout, down):
+        super().__init__()
+        self.down = down
+        self.conv1 = TorchSTConv(cin, cout, 3, stride=2 if down else 1,
+                                 padding=1)
+        self.bn1 = nn.BatchNorm3d(cout)
+        self.conv2 = TorchSTConv(cout, cout, 3, padding=1)
+        self.bn2 = nn.BatchNorm3d(cout)
+        if down:
+            self.dconv = TorchSTConv(cin, cout, 1, stride=2)
+            self.dbn = nn.BatchNorm3d(cout)
+
+    def forward(self, x):
+        r = torch.relu(self.bn1(self.conv1(x)))
+        r = self.bn2(self.conv2(r))
+        if self.down:
+            x = self.dbn(self.dconv(x))
+        return torch.relu(x + r)
+
+
+class TorchR21D(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = TorchSTConv(3, 64, (3, 7, 7), stride=(1, 2, 2),
+                                 padding=(1, 3, 3))
+        self.bn1 = nn.BatchNorm3d(64)
+        self.blocks = nn.ModuleList([
+            TorchR21DBlock(64, 64, False), TorchR21DBlock(64, 128, True),
+            TorchR21DBlock(128, 256, True), TorchR21DBlock(256, 512, True),
+        ])
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+def copy_stconv(t: "TorchSTConv", jp, js):
+    jp["spatial_conv"]["kernel"] = t2j_conv(t.spatial.weight)
+    jp["temporal_conv"]["kernel"] = t2j_conv(t.temporal.weight)
+    copy_bn(t.bn, jp["bn"]["bn"], js["bn"]["bn"])
+
+
+def test_r21d_matches_torch_eval_mode():
+    """Flagship backbone: identical weights -> identical outputs."""
+    torch.manual_seed(3)
+    tm = TorchR21D().eval()
+    for m in tm.modules():
+        if isinstance(m, nn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+
+    # parameter-count cross-check against the golden first
+    n = sum(p.numel() for p in tm.parameters())
+    assert n == 14_365_303, n
+
+    model, _ = select_backbone("r21d")
+    x_np = np.random.RandomState(3).rand(1, 3, 8, 32, 32).astype(np.float32)
+    xj = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))
+    variables = model.init(jax.random.PRNGKey(0), xj, train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    copy_stconv(tm.conv1, params["conv1"], stats["conv1"])
+    copy_bn(tm.bn1, params["bn1"]["bn"], stats["bn1"]["bn"])
+    for li, block in enumerate(tm.blocks):
+        name = f"layer{li + 1}_block0"
+        copy_stconv(block.conv1, params[name]["conv1"], stats[name]["conv1"])
+        copy_stconv(block.conv2, params[name]["conv2"], stats[name]["conv2"])
+        copy_bn(block.bn1, params[name]["bn1"]["bn"], stats[name]["bn1"]["bn"])
+        copy_bn(block.bn2, params[name]["bn2"]["bn"], stats[name]["bn2"]["bn"])
+        if block.down:
+            copy_stconv(block.dconv, params[name]["downsample_conv"],
+                        stats[name]["downsample_conv"])
+            copy_bn(block.dbn, params[name]["downsample_bn"]["bn"],
+                    stats[name]["downsample_bn"]["bn"])
+
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x_np)).numpy()
+    yj = model.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+    assert yt.shape == yj.shape
+    np.testing.assert_allclose(yj, yt, atol=5e-4, rtol=1e-3)
