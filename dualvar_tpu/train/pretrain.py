@@ -234,9 +234,20 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
             logger=logger)
         tic = time.time()
         end = time.time()
-        for it, batch in enumerate(loader.epoch(epoch)):
+        # overlap H2D with compute: batches are placed on device one step
+        # ahead of consumption (the loader already decodes ahead on the host)
+        def placed_frames():
+            for b in loader.epoch(epoch):
+                yield jax.device_put(b["frames"], data_sh)
+
+        batches = placed_frames()
+        lookahead = next(batches, None)
+        it = -1
+        while lookahead is not None:
+            it += 1
+            frames = lookahead
+            lookahead = next(batches, None)
             t_data.update(time.time() - end)
-            frames = jax.device_put(batch["frames"], data_sh)
             if profile_steps and global_step == start_epoch * steps_per_epoch + 1:
                 jax.profiler.start_trace(os.path.join(exp_path, "img", "profile"))
             state, metrics = train_step(state, frames, rng)
