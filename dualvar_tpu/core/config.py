@@ -150,6 +150,15 @@ PRETRAIN_PRESETS: dict[str, PretrainConfig] = {
                           schedule=(120, 160)),
         run=RunConfig(prefix="paper_table2_re_simclr_r21d"),
     ),
+    # BASELINE.json config #4: S3D-G Kinetics-400 pretrain — the global
+    # contrastive denominators all-gather over ICI under the sharded step
+    "s3dg_k400": PretrainConfig(
+        data=DataConfig(dataset="k400-2clip-stage-prototype", ds=4),
+        model=ModelConfig(net="s3dg", model="simclr_timeseriesv4"),
+        optim=OptimConfig(batch_size=8, lr=0.003, wd=1e-4, epochs=200,
+                          schedule=(120, 160)),
+        run=RunConfig(prefix="s3dg_k400", keep_all=True),
+    ),
     # CPU-runnable synthetic smoke (BASELINE.json config #1: SimCLR NT-Xent,
     # R3D-18, small batch)
     "smoke": PretrainConfig(

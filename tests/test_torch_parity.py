@@ -295,3 +295,117 @@ def test_r21d_matches_torch_eval_mode():
     yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
     assert yt.shape == yj.shape
     np.testing.assert_allclose(yj, yt, atol=5e-4, rtol=1e-3)
+
+
+class TorchBasicConv(nn.Module):
+    def __init__(self, cin, cout, k=1, s=1, p=0):
+        super().__init__()
+        self.conv = nn.Conv3d(cin, cout, k, stride=s, padding=p, bias=False)
+        self.bn = nn.BatchNorm3d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class TorchS3DST(nn.Module):
+    """STConv3d (reference backbone/s3dg.py:30-65)."""
+
+    def __init__(self, cin, cout, k, s=1, p=0):
+        super().__init__()
+        ts = s[0] if isinstance(s, tuple) else s
+        ss = s[-1] if isinstance(s, tuple) else s
+        self.conv1 = nn.Conv3d(cin, cout, (1, k, k), stride=(1, ss, ss),
+                               padding=(0, p, p), bias=False)
+        self.conv2 = nn.Conv3d(cout, cout, (k, 1, 1), stride=(ts, 1, 1),
+                               padding=(p, 0, 0), bias=False)
+        self.bn1 = nn.BatchNorm3d(cout)
+        self.bn2 = nn.BatchNorm3d(cout)
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        return torch.relu(self.bn2(self.conv2(x)))
+
+
+class TorchSepInception(nn.Module):
+    def __init__(self, cin, planes, gating=False):
+        super().__init__()
+        b0, b1a, b1b, b2a, b2b, b3b = planes
+        self.b0 = TorchBasicConv(cin, b0)
+        self.b1_0 = TorchBasicConv(cin, b1a)
+        self.b1_1 = TorchS3DST(b1a, b1b, 3, 1, 1)
+        self.b2_0 = TorchBasicConv(cin, b2a)
+        self.b2_1 = TorchS3DST(b2a, b2b, 3, 1, 1)
+        self.b3_1 = TorchBasicConv(cin, b3b)
+        self.gating = gating
+        if gating:
+            self.g0 = nn.Linear(b0, b0)
+            self.g1 = nn.Linear(b1b, b1b)
+            self.g2 = nn.Linear(b2b, b2b)
+            self.g3 = nn.Linear(b3b, b3b)
+
+    @staticmethod
+    def gate(fc, x):
+        w = torch.sigmoid(fc(x.mean(dim=[2, 3, 4])))
+        return w[:, :, None, None, None] * x
+
+    def forward(self, x):
+        x0 = self.b0(x)
+        x1 = self.b1_1(self.b1_0(x))
+        x2 = self.b2_1(self.b2_0(x))
+        x3 = self.b3_1(torch.nn.functional.max_pool3d(x, 3, 1, 1))
+        if self.gating:
+            x0, x1 = self.gate(self.g0, x0), self.gate(self.g1, x1)
+            x2, x3 = self.gate(self.g2, x2), self.gate(self.g3, x3)
+        return torch.cat([x0, x1, x2, x3], 1)
+
+
+def copy_basic(t, jp, js):
+    jp["conv"]["kernel"] = t2j_conv(t.conv.weight)
+    copy_bn(t.bn, jp["bn"]["bn"], js["bn"]["bn"])
+
+
+def copy_st(t, jp, js):
+    jp["conv1"]["kernel"] = t2j_conv(t.conv1.weight)
+    jp["conv2"]["kernel"] = t2j_conv(t.conv2.weight)
+    copy_bn(t.bn1, jp["bn1"]["bn"], js["bn1"]["bn"])
+    copy_bn(t.bn2, jp["bn2"]["bn"], js["bn2"]["bn"])
+
+
+def test_s3dg_inception_block_matches_torch():
+    """One gated SepInception block with identical weights (the S3D-G
+    building block, reference s3dg.py:81-132)."""
+    from dualvar_tpu.models.backbones.s3dg import SepInception
+
+    torch.manual_seed(4)
+    planes = [16, 8, 12, 8, 12, 10]
+    tm = TorchSepInception(24, planes, gating=True).eval()
+    for m in tm.modules():
+        if isinstance(m, nn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+
+    jm = SepInception(planes, gating=True)
+    x_np = np.random.RandomState(4).rand(2, 24, 4, 8, 8).astype(np.float32)
+    xj = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))
+    variables = jm.init(jax.random.PRNGKey(0), xj, False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    copy_basic(tm.b0, params["branch0"], stats["branch0"])
+    copy_basic(tm.b1_0, params["branch1_0"], stats["branch1_0"])
+    copy_st(tm.b1_1, params["branch1_1"], stats["branch1_1"])
+    copy_basic(tm.b2_0, params["branch2_0"], stats["branch2_0"])
+    copy_st(tm.b2_1, params["branch2_1"], stats["branch2_1"])
+    copy_basic(tm.b3_1, params["branch3_1"], stats["branch3_1"])
+    for gname, fc in (("gating_b0", tm.g0), ("gating_b1", tm.g1),
+                      ("gating_b2", tm.g2), ("gating_b3", tm.g3)):
+        params[gname]["fc"]["kernel"] = jnp.asarray(
+            fc.weight.detach().numpy().T)
+        params[gname]["fc"]["bias"] = jnp.asarray(fc.bias.detach().numpy())
+
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x_np)).numpy()
+    yj = jm.apply({"params": params, "batch_stats": stats}, xj, False)
+    yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+    assert yt.shape == yj.shape
+    np.testing.assert_allclose(yj, yt, atol=2e-4, rtol=1e-3)
