@@ -431,7 +431,9 @@ def color_jitter(
         lambda c: adjust_hue(c, factors["hue"]),
     ]
 
-    def body(i, c):
-        return jax.lax.switch(order[i], ops, c)
-
-    return jax.lax.fori_loop(0, 4, body, clip)
+    # statically unrolled: a fori_loop here lowers to a device while-loop
+    # that blocks fusion (profiled at ~67 ms/step at B=128 on v5e); four
+    # unrolled switches let XLA fuse each op chain
+    for i in range(4):
+        clip = jax.lax.switch(order[i], ops, clip)
+    return clip
