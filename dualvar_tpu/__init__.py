@@ -26,3 +26,26 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import dualvar_tpu` light)."""
+    import importlib
+
+    exports = {
+        "select_backbone": ("dualvar_tpu.models.backbones", "select_backbone"),
+        "SimCLRNaked": ("dualvar_tpu.models.ssl.simclr", "SimCLRNaked"),
+        "SimCLRTimeSeriesV4": ("dualvar_tpu.models.ssl.simclr", "SimCLRTimeSeriesV4"),
+        "MoCoEncoder": ("dualvar_tpu.models.ssl.moco", "MoCoEncoder"),
+        "LinearClassifier": ("dualvar_tpu.models.heads", "LinearClassifier"),
+        "soft_dtw": ("dualvar_tpu.ops.soft_dtw", "soft_dtw"),
+        "soft_dtw_sequences": ("dualvar_tpu.ops.soft_dtw", "soft_dtw_sequences"),
+        "PRETRAIN_PRESETS": ("dualvar_tpu.core.config", "PRETRAIN_PRESETS"),
+        "CLASSIFIER_PRESETS": ("dualvar_tpu.core.config", "CLASSIFIER_PRESETS"),
+        "PretrainConfig": ("dualvar_tpu.core.config", "PretrainConfig"),
+        "ClassifierConfig": ("dualvar_tpu.core.config", "ClassifierConfig"),
+    }
+    if name in exports:
+        module, attr = exports[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'dualvar_tpu' has no attribute {name!r}")
