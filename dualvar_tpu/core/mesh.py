@@ -23,18 +23,51 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# Env vars that indicate a multi-host launch where jax.distributed can
+# auto-detect (or is explicitly given) a coordinator. Checked WITHOUT touching
+# any jax API: jax.process_count()/devices() initialize the XLA backend, after
+# which jax.distributed.initialize() raises.
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",   # explicit coordinator
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU
+    "TPU_WORKER_HOSTNAMES",      # Cloud TPU pod auto-detection
+    "SLURM_STEP_NODELIST",       # SLURM cluster auto-detection
+)
+
+
 def init_distributed() -> None:
-    """Multi-host rendezvous when launched under a JAX-aware scheduler
-    (coordinator env vars set); a no-op single-host otherwise. Replaces
-    dist.init_process_group (pretrain.py:218)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    """Multi-host rendezvous when launched under a JAX-aware scheduler;
+    a no-op single-host otherwise. Replaces dist.init_process_group
+    (reference pretrain.py:205-230 incl. the SLURM path :594-609).
+
+    Must run before any other jax call: initialize() requires an
+    uninitialized backend, so the launch-environment check reads env vars
+    only. Already-initialized (an outer launcher called initialize, or a
+    second driver invocation in-process) is tolerated."""
+    if not any(os.environ.get(k) for k in _CLUSTER_ENV_VARS):
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError:
+        pass  # backend already initialized by an earlier call/launcher
 
 
 def data_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
     """Mesh whose data axis is the largest device count dividing the
     per-process batch (a 4-sample smoke batch on an 8-device host uses 4
-    devices rather than failing the sharding divisibility check)."""
+    devices rather than failing the sharding divisibility check).
+
+    Multi-process: ``batch_size`` is per process (reference batch-per-GPU
+    semantics, pretrain.py:183-184); the mesh spans all global devices and
+    each process' local shard must divide its local devices."""
+    if jax.process_count() > 1:
+        local = jax.local_device_count() // model_parallel
+        if batch_size % local:
+            raise ValueError(
+                f"per-process batch {batch_size} not divisible by "
+                f"{local} local devices")
+        return make_mesh(None, model_parallel)
     n = len(jax.devices()) // model_parallel
     d = min(n, batch_size)
     while batch_size % d:
@@ -62,6 +95,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch with its leading axis split over the data axis."""
+    """Place a host batch with its leading axis split over the data axis.
+
+    Multi-process: each process holds only its local shard of the global
+    batch, so the global array is assembled from the per-host locals
+    (otherwise jax.device_put would treat the local array as the global
+    batch and silently drop (P-1)/P of every host's samples). This is what
+    DistributedSampler + DDP gave the reference (pretrain.py:550-556)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                x, mesh, P("data")),
+            batch)
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -114,6 +114,60 @@ class Conv3d(nn.Module):
         return y
 
 
+class _FastBN(nn.Module):
+    """One-pass BatchNorm core tuned for TPU memory bandwidth.
+
+    flax's nn.BatchNorm casts the activation map to f32 before reducing,
+    which materializes an f32 copy of every feature map in HBM — measured
+    ~10x slower than bandwidth speed-of-light on the R3D conv1 map
+    (scripts/bn_bench.py; the ~30%-of-step convert_reduce fusions in the
+    round-1 profile). Here the sum and sum-of-squares reduce directly off
+    the bf16 map with f32 accumulation (one fused pass, no f32 copy), and
+    normalization is a two-coefficient ``x * a + b`` in the compute dtype,
+    so XLA fuses it into the producing conv's epilogue.
+
+    Variable tree matches nn.BatchNorm exactly (params scale/bias,
+    batch_stats mean/var) — checkpoints interchange.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool) -> Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
+
+        axes = tuple(range(x.ndim - 1))
+        if use_running_average:
+            mu, var = ra_mean.value, ra_var.value
+        else:
+            n = 1
+            for d in axes:
+                n *= x.shape[d]
+            s1 = jnp.sum(x, axis=axes, dtype=jnp.float32)
+            s2 = jnp.sum(jax.lax.square(x.astype(jnp.float32)), axis=axes)
+            mu = s1 / n
+            var = jnp.maximum(s2 / n - mu * mu, 0.0)
+            if not self.is_initializing() and self.is_mutable_collection(
+                    "batch_stats"):
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * jax.lax.stop_gradient(mu)
+                ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(var)
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        a = inv.astype(self.dtype)
+        b = (bias.astype(jnp.float32) - mu * inv).astype(self.dtype)
+        return x.astype(self.dtype) * a + b
+
+
 class BatchNorm(nn.Module):
     """torch-parity BatchNorm over (B, T, H, W) with running stats.
 
@@ -132,15 +186,14 @@ class BatchNorm(nn.Module):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        norm = nn.BatchNorm(
-            use_running_average=ura,
+        norm = _FastBN(
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bn",
         )
-        return norm(x)
+        return norm(x, ura)
 
 
 def max_pool3d(x: Array, kernel_size, stride=None, padding=0) -> Array:

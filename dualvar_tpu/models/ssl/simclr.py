@@ -154,8 +154,11 @@ class SimCLRTimeSeriesV4(nn.Module):
 
         ret: dict[str, jax.Array] = {}
         if self.with_clip:
-            clip_emb = l2_normalize(self.clip_head(pooled), axis=1)
-            clip_emb = clip_emb.reshape(B, 3, self.dim)[:, :2]
+            # nonlinear=False uses the pooled feature directly, as in
+            # SimCLRNaked.encode (reference model/simclr.py:167-170)
+            clip_emb = self.clip_head(pooled) if self.nonlinear else pooled
+            clip_emb = l2_normalize(clip_emb, axis=1)
+            clip_emb = clip_emb.reshape(B, 3, clip_emb.shape[-1])[:, :2]
             ret.update(nt_xent_loss(clip_emb, self.temperature, "clip_"))
 
         series = self.series_head(pooled).reshape(

@@ -40,9 +40,9 @@ from ..aug.pipeline import (
 from ..core.checkpoint import CheckpointStore, load_pretrained_backbone
 from ..core.config import CLASSIFIER_PRESETS, ClassifierConfig
 from ..core.logging import get_logger
-from ..core.mesh import (batch_sharding, data_mesh_for_batch,
-                         init_distributed, make_mesh, replicated)
-from ..core.meters import AverageMeter, MeterBank, ProgressMeter
+from ..core.mesh import (data_mesh_for_batch, init_distributed, make_mesh,
+                         replicated, shard_batch)
+from ..core.meters import AverageMeter, ProgressMeter
 from ..core.metrics_writer import MetricsWriter
 from ..data.indices import load_class_index, load_split
 from ..data.loader import (
@@ -140,17 +140,44 @@ def make_train_step(model: LinearClassifier, tx, aug_cfg: AugConfig,
 
 
 def make_eval_step(model: LinearClassifier, aug_cfg: AugConfig):
+    """Masked-sum eval step: the final partial batch is padded to the static
+    batch size with mask=0 rows, so one compiled program serves every batch
+    and the returned sums are exact. Under a multi-host mesh the batch is
+    globally assembled, so the sums are already global on every host."""
+
     @jax.jit
-    def eval_step(params, batch_stats, frames_u8, labels):
+    def eval_step(params, batch_stats, frames_u8, labels, mask):
         clips = eval_batch(frames_u8, aug_cfg)
-        logit, feat = model.apply(
+        logit, _ = model.apply(
             {"params": params, "batch_stats": batch_stats}, clips, train=False
         )
-        loss = cross_entropy_from_logits(logit, labels)
-        top1, top5 = topk_accuracy(logit, labels, (1, 5))
-        return {"loss": loss, "top1": top1, "top5": top5}
+        logp = jax.nn.log_softmax(logit.astype(jnp.float32), axis=-1)
+        per_loss = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        top1 = (logit.argmax(axis=1) == labels).astype(jnp.float32)
+        k5 = jax.lax.top_k(logit, min(5, logit.shape[-1]))[1]
+        top5 = (k5 == labels[:, None]).any(axis=1).astype(jnp.float32)
+        m = mask.astype(jnp.float32)
+        return {"loss": (per_loss * m).sum(), "top1": (top1 * m).sum(),
+                "top5": (top5 * m).sum(), "n": m.sum()}
 
     return eval_step
+
+
+def _pad_batch(batch: dict, batch_size: int) -> dict:
+    """Pad a partial batch to the static batch size and add a validity mask."""
+    n = len(batch["label"])
+    out = dict(batch)
+    if n < batch_size:
+        pad = batch_size - n
+        for k in list(out):
+            x = out[k]
+            out[k] = np.concatenate(
+                [x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+        out["mask"] = np.concatenate([np.ones(n, np.float32),
+                                      np.zeros(pad, np.float32)])
+    else:
+        out["mask"] = np.ones(n, np.float32)
+    return out
 
 
 def build_datasets(cfg: ClassifierConfig, mode: str):
@@ -241,10 +268,14 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
         shuffle=True, seed=cfg.run.seed, num_workers=cfg.data.workers,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
+    # val sharded by process like train: shard_for_process pads every host to
+    # the same shard length, so hosts stay in lockstep batch-for-batch and the
+    # eval step's global sums are exact (DistributedSampler semantics)
     val_loader = HostLoader(
         classifier_dataset(cfg, "val"), cfg.optim.batch_size,
         shuffle=False, seed=cfg.run.seed, num_workers=cfg.data.workers,
         drop_last=False,
+        process_index=jax.process_index(), process_count=jax.process_count(),
     )
     steps_per_epoch = len(train_loader)
     logger.info(f"=> Effective batch = {cfg.optim.batch_size * jax.process_count()}"
@@ -254,7 +285,6 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
     rng = jax.random.PRNGKey(cfg.run.seed)
     state = init_state(cfg, model, tx, rng, logger)
     state = jax.device_put(state, replicated(mesh))
-    data_sh = batch_sharding(mesh)
     train_step = jax.jit(
         make_train_step(model, tx, aug_cfg, cfg.train_what),
         donate_argnums=(0,),
@@ -288,8 +318,8 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
             logger=logger)
         tic = time.time()
         for it, batch in enumerate(train_loader.epoch(epoch)):
-            frames = jax.device_put(batch["frames"], data_sh)
-            labels = jax.device_put(batch["label"], data_sh)
+            frames = shard_batch(mesh, batch["frames"])
+            labels = shard_batch(mesh, batch["label"])
             state, metrics = train_step(state, frames, labels, rng)
             if (it + 1) % cfg.run.print_freq == 0 or it == steps_per_epoch - 1:
                 metrics = jax.device_get(metrics)
@@ -307,24 +337,27 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
         logger.info(f"train epoch [{epoch}] T-epoch:{time.time() - tic:.2f}")
 
         if (epoch + 1) % cfg.run.eval_freq == 0 or done:
-            vb = MeterBank()
-            vm = {k: AverageMeter(k) for k in ("loss", "top1", "top5")}
+            sums = {"loss": 0.0, "top1": 0.0, "top5": 0.0, "n": 0.0}
             for batch in val_loader.epoch(0):
+                b = _pad_batch(batch, cfg.optim.batch_size)
                 m = jax.device_get(eval_step(
                     state.params, state.batch_stats,
-                    jnp.asarray(batch["frames"]), jnp.asarray(batch["label"])))
-                for k in vm:
-                    vm[k].update(float(m[k]), len(batch["label"]))
-            val_acc = vm["top1"].avg
+                    shard_batch(mesh, b["frames"]),
+                    shard_batch(mesh, b["label"]),
+                    shard_batch(mesh, b["mask"])))
+                for k in sums:
+                    sums[k] += float(m[k])
+            n = max(sums["n"], 1.0)
+            val_acc = sums["top1"] / n
             logger.info(
-                f"val Epoch: [{epoch}] Loss: {vm['loss'].avg:.4f} "
-                f"Acc@1: {val_acc:.4f} Acc@5: {vm['top5'].avg:.4f}")
+                f"val Epoch: [{epoch}] Loss: {sums['loss'] / n:.4f} "
+                f"Acc@1: {val_acc:.4f} Acc@5: {sums['top5'] / n:.4f}")
             if writer:
                 writer.add_scalar("val/top1", val_acc, epoch)
             final["val_top1"] = val_acc
-            if jax.process_index() == 0:
-                best_acc = max(best_acc, val_acc)
-                store.save(epoch, jax.device_get(state), {"acc": val_acc})
+            best_acc = max(best_acc, val_acc)
+            # all processes call save — orbax synchronizes internally
+            store.save(epoch, jax.device_get(state), {"acc": val_acc})
         if done:
             break
 
@@ -337,6 +370,32 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
 # --------------------------------------------------------------------------
 # test protocols
 # --------------------------------------------------------------------------
+
+def _gather_concat(*arrays: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Concatenate per-host result arrays across processes (equal shapes per
+    host are guaranteed by shard_for_process' padded shards). Single-process:
+    identity."""
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(arrays)
+    return tuple(np.concatenate(list(g)) for g in gathered)
+
+
+def _dedupe_by_vid(vids: np.ndarray, *arrays: np.ndarray):
+    """Drop duplicate records (shard padding repeats some videos) and order
+    by video id."""
+    _, first = np.unique(vids, return_index=True)
+    return tuple(a[first] for a in (vids,) + arrays)
+
+
+def _test_loader(cfg: ClassifierConfig, dataset) -> HostLoader:
+    return HostLoader(dataset, cfg.optim.batch_size, shuffle=False,
+                      seed=0, num_workers=cfg.data.workers, drop_last=False,
+                      process_index=jax.process_index(),
+                      process_count=jax.process_count())
+
 
 def _load_test_state(cfg: ClassifierConfig, model, logger):
     rng = jax.random.PRNGKey(0)
@@ -373,26 +432,23 @@ def test_multicrop(cfg: ClassifierConfig, protocol: str = "ten") -> dict[str, fl
     params, batch_stats = _load_test_state(cfg, model, logger)
     aug_cfg = AugConfig(img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len)
     dataset = classifier_dataset(cfg, "test")
-    loader = HostLoader(dataset, cfg.optim.batch_size, shuffle=False,
-                        seed=0, num_workers=cfg.data.workers, drop_last=False)
+    loader = _test_loader(cfg, dataset)
 
     aug_list = {"center": [5], "five": [5, 1, 2, 3, 4],
                 "ten": [5, 1, 2, 3, 4]}[protocol]
     flip_list = [0, 1] if protocol == "ten" else [0]
 
-    # one compiled program per (where, flip) combination
-    from functools import lru_cache
+    # one compiled program per (where, flip) combination; params passed as
+    # arguments so the weights are not baked into 10 programs as constants
+    from functools import partial
 
-    @lru_cache(maxsize=None)
-    def step_for(where, flip):
-        def f(frames_u8):
-            clips = tencrop_batch(frames_u8, aug_cfg, where, bool(flip))
-            logit, _ = model.apply(
-                {"params": params, "batch_stats": batch_stats}, clips,
-                train=False)
-            return jax.nn.softmax(logit, axis=-1)
-        return jax.jit(f)
+    @partial(jax.jit, static_argnums=(2, 3))
+    def step(variables, frames_u8, where, flip):
+        clips = tencrop_batch(frames_u8, aug_cfg, where, bool(flip))
+        logit, _ = model.apply(variables, clips, train=False)
+        return jax.nn.softmax(logit.astype(jnp.float32), axis=-1)
 
+    variables = {"params": params, "batch_stats": batch_stats}
     prob_sum: dict[int, np.ndarray] = {}
     prob_n: dict[int, int] = {}
     labels_by_vid: dict[int, int] = {}
@@ -400,22 +456,27 @@ def test_multicrop(cfg: ClassifierConfig, protocol: str = "ten") -> dict[str, fl
         for where in aug_list:
             logger.info(f"Aug type: {where}; flip: {flip}")
             for batch in loader.epoch(0):
-                p = np.asarray(step_for(where, flip)(jnp.asarray(batch["frames"])))
+                p = np.asarray(step(variables, jnp.asarray(batch["frames"]),
+                                    where, flip))
                 for i, vid in enumerate(batch["vid"]):
                     vid = int(vid)
                     prob_sum[vid] = prob_sum.get(vid, 0.0) + p[i]
                     prob_n[vid] = prob_n.get(vid, 0) + 1
                     labels_by_vid[vid] = int(batch["label"][i])
 
-    mean_probs = np.stack([prob_sum[v] / prob_n[v] for v in sorted(prob_sum)])
-    labels = np.array([labels_by_vid[v] for v in sorted(prob_sum)])
+    vids = np.array(sorted(prob_sum))
+    local_probs = np.stack([prob_sum[v] / prob_n[v] for v in vids])
+    local_labels = np.array([labels_by_vid[v] for v in vids])
+    vids, mean_probs, labels = _dedupe_by_vid(
+        *_gather_concat(vids, local_probs, local_labels))
     top1 = float(np.mean(mean_probs.argmax(1) == labels))
     top5 = float(np.mean([
         l in np.argsort(-p)[:5] for p, l in zip(mean_probs, labels)]))
     logger.info(f"{protocol}-crop: Mean: Acc@1: {top1:.4f} Acc@5: {top5:.4f}")
     out = {"top1": top1, "top5": top5}
-    with open(os.path.join(exp_path, f"prob-{protocol}.json"), "w") as f:
-        json.dump(out, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(exp_path, f"prob-{protocol}.json"), "w") as f:
+            json.dump(out, f)
     return out
 
 
@@ -429,25 +490,26 @@ def test_temporal_tenclip(cfg: ClassifierConfig) -> dict[str, float]:
     params, batch_stats = _load_test_state(cfg, model, logger)
     aug_cfg = AugConfig(img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len)
     dataset = tenclip_dataset(cfg, "test")
-    loader = HostLoader(dataset, cfg.optim.batch_size, shuffle=False,
-                        seed=0, num_workers=cfg.data.workers, drop_last=False)
+    loader = _test_loader(cfg, dataset)
 
     @jax.jit
-    def step(frames_u8):
+    def step(variables, frames_u8):
         clips = tenclip_batch(frames_u8, aug_cfg)  # (B, 10, T, d, d, C)
         B = clips.shape[0]
         flat = clips.reshape(B * 10, *clips.shape[2:])
-        logit, _ = model.apply(
-            {"params": params, "batch_stats": batch_stats}, flat, train=False)
-        return jax.nn.softmax(logit, axis=-1).reshape(B, 10, -1).mean(axis=1)
+        logit, _ = model.apply(variables, flat, train=False)
+        p = jax.nn.softmax(logit.astype(jnp.float32), axis=-1)
+        return p.reshape(B, 10, -1).mean(axis=1)
 
-    probs, labels, classwise = [], [], {}
+    variables = {"params": params, "batch_stats": batch_stats}
+    probs, labels, vids, classwise = [], [], [], {}
     for batch in loader.epoch(0):
-        p = np.asarray(step(jnp.asarray(batch["frames"])))
+        p = np.asarray(step(variables, jnp.asarray(batch["frames"])))
         probs.append(p)
         labels.append(np.asarray(batch["label"]))
-    probs = np.concatenate(probs)
-    labels = np.concatenate(labels)
+        vids.append(np.asarray(batch["vid"]))
+    _, probs, labels = _dedupe_by_vid(*_gather_concat(
+        np.concatenate(vids), np.concatenate(probs), np.concatenate(labels)))
     top1 = float(np.mean(probs.argmax(1) == labels))
     top5 = float(np.mean([
         l in np.argsort(-p)[:5] for p, l in zip(probs, labels)]))
@@ -459,30 +521,33 @@ def test_temporal_tenclip(cfg: ClassifierConfig) -> dict[str, float]:
         classwise.setdefault(int(l), []).append(int(p.argmax() == l))
     class_acc = {int(k): float(np.mean(v)) for k, v in classwise.items()}
     out = {"top1": top1, "top5": top5, "classwise": class_acc}
-    with open(os.path.join(exp_path, "prob-temporal_10_clip.json"), "w") as f:
-        json.dump(out, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(exp_path, "prob-temporal_10_clip.json"), "w") as f:
+            json.dump(out, f)
     return out
 
 
 def extract_tenclip_features(cfg, model, params, batch_stats, mode, aug_cfg):
     dataset = tenclip_dataset(cfg, mode)
-    loader = HostLoader(dataset, cfg.optim.batch_size, shuffle=False,
-                        seed=0, num_workers=cfg.data.workers, drop_last=False)
+    loader = _test_loader(cfg, dataset)
 
     @jax.jit
-    def step(frames_u8):
+    def step(variables, frames_u8):
         clips = tenclip_batch(frames_u8, aug_cfg)
         B = clips.shape[0]
         flat = clips.reshape(B * 10, *clips.shape[2:])
-        _, feat = model.apply(
-            {"params": params, "batch_stats": batch_stats}, flat, train=False)
+        _, feat = model.apply(variables, flat, train=False)
         return feat.reshape(B, 10, -1).mean(axis=1)  # classifier.py:888-890
 
-    feats, labels = [], []
+    variables = {"params": params, "batch_stats": batch_stats}
+    feats, labels, vids = [], [], []
     for batch in loader.epoch(0):
-        feats.append(np.asarray(step(jnp.asarray(batch["frames"]))))
+        feats.append(np.asarray(step(variables, jnp.asarray(batch["frames"]))))
         labels.append(np.asarray(batch["label"]))
-    return np.concatenate(feats), np.concatenate(labels)
+        vids.append(np.asarray(batch["vid"]))
+    _, feats, labels = _dedupe_by_vid(*_gather_concat(
+        np.concatenate(vids), np.concatenate(feats), np.concatenate(labels)))
+    return feats, labels
 
 
 def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
@@ -501,11 +566,12 @@ def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
     logger.info(f"test {test_f.shape}, train {train_f.shape}")
 
     feat_dir = os.path.join(exp_path, "feature")
-    os.makedirs(feat_dir, exist_ok=True)
-    np.save(os.path.join(feat_dir, "test_feature.npy"), test_f)
-    np.save(os.path.join(feat_dir, "train_feature.npy"), train_f)
-    np.save(os.path.join(feat_dir, "test_label.npy"), test_l)
-    np.save(os.path.join(feat_dir, "train_label.npy"), train_l)
+    if jax.process_index() == 0:
+        os.makedirs(feat_dir, exist_ok=True)
+        np.save(os.path.join(feat_dir, "test_feature.npy"), test_f)
+        np.save(os.path.join(feat_dir, "train_feature.npy"), train_f)
+        np.save(os.path.join(feat_dir, "test_label.npy"), test_l)
+        np.save(os.path.join(feat_dir, "train_label.npy"), train_l)
 
     # centering + L2 norm + cosine similarity (classifier.py:966-975)
     test_f = test_f - test_f.mean(0, keepdims=True)
@@ -522,8 +588,9 @@ def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
         hit = (train_l[topk] == test_l[:, None]).any(axis=1)
         out[f"R@{k}"] = float(hit.mean())
         logger.info(f"{k}NN acc = {out[f'R@{k}']:.4f}")
-    with open(os.path.join(feat_dir, "retrieval.json"), "w") as f:
-        json.dump(out, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(feat_dir, "retrieval.json"), "w") as f:
+            json.dump(out, f)
     return out
 
 

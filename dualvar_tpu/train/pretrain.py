@@ -31,8 +31,8 @@ from ..aug.pipeline import AugConfig, pretrain_batch
 from ..core.checkpoint import CheckpointStore
 from ..core.config import PRETRAIN_PRESETS, PretrainConfig
 from ..core.logging import get_logger
-from ..core.mesh import (batch_sharding, data_mesh_for_batch,
-                         init_distributed, make_mesh, replicated)
+from ..core.mesh import (data_mesh_for_batch, init_distributed, make_mesh,
+                         replicated, shard_batch)
 from ..core.meters import AverageMeter, MeterBank, ProgressMeter
 from ..core.metrics_writer import MetricsWriter
 from ..data.indices import load_class_index, load_split
@@ -194,7 +194,6 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
 
     # replicate state, shard batches
     state = jax.device_put(state, replicated(mesh))
-    data_sh = batch_sharding(mesh)
     train_step = jax.jit(
         make_train_step(task, tx, aug_cfg), donate_argnums=(0,),
         out_shardings=(replicated(mesh), replicated(mesh)),
@@ -238,7 +237,7 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
         # ahead of consumption (the loader already decodes ahead on the host)
         def placed_frames():
             for b in loader.epoch(epoch):
-                yield jax.device_put(b["frames"], data_sh)
+                yield shard_batch(mesh, b["frames"])
 
         batches = placed_frames()
         lookahead = next(batches, None)
@@ -287,10 +286,13 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
                 writer.add_scalar(f"global/{key}_acc", m.avg, epoch)
 
         if ((epoch + 1) % cfg.run.eval_freq == 0 or epoch == cfg.optim.epochs - 1
-                or done) and jax.process_index() == 0:
+                or done):
             train_acc = bank.accs["clip"].avg if "clip" in bank.accs else 0.0
             best_acc = max(best_acc, train_acc)
             if (epoch + 1) % cfg.run.save_freq == 0 or epoch == cfg.optim.epochs - 1 or done:
+                # save on ALL processes: orbax CheckpointManager synchronizes
+                # across processes and writes from the primary host; gating on
+                # process 0 would deadlock multi-host runs at the first save
                 store.save(epoch, jax.device_get(state), {"acc": train_acc})
                 logger.info(f"saved checkpoint epoch {epoch} (acc {train_acc:.4f})")
         if done:
