@@ -178,7 +178,15 @@ class PretrainDataset:
 @dataclass
 class ClassifierDataset:
     """Single-clip classification samples (reference UCF101LMDB,
-    local_dataset.py:176-201)."""
+    local_dataset.py:176-201).
+
+    Test mode covers ALL half-overlapping temporal windows per video
+    (reference frame_sampler test branch, local_dataset.py:107-123): each
+    (video, window) pair is its own fixed-shape record carrying the video's
+    ``vid``, and the protocols' per-vid probability averaging reproduces the
+    reference's mean-over-windows (classifier.py:612-628) without padded
+    shapes.
+    """
 
     entries: list[VideoEntry]
     class_index: ClassIndex
@@ -187,20 +195,33 @@ class ClassifierDataset:
     ds: int = 2
     mode: str = "train"  # train | val | test
 
+    def __post_init__(self):
+        self._records = None
+        if self.mode == "test":
+            self._records = [
+                (ei, w)
+                for ei, e in enumerate(self.entries)
+                for w in range(samplers.n_test_windows(
+                    e.vlen, self.num_frames, self.ds))
+            ]
+
     def __len__(self):
-        return len(self.entries)
+        return len(self._records) if self._records is not None \
+            else len(self.entries)
 
     def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
-        e = self.entries[index]
-        if self.mode == "test":
-            idx = samplers.frame_sampler_test(rng, e.vlen, self.num_frames, self.ds)
-            idx = idx[: self.num_frames]  # fixed-shape: first window
+        if self._records is not None:
+            ei, w = self._records[index]
+            e = self.entries[ei]
+            idx = samplers.test_window(rng, e.vlen, self.num_frames, self.ds, w)
         else:
+            ei = index
+            e = self.entries[ei]
             idx = samplers.frame_sampler_train(rng, e.vlen, self.num_frames, self.ds)
         return {
             "frames": self.source(e.vname, idx),
             "label": np.int32(self.class_index.encode(e.vlabel)),
-            "vid": np.int32(index),
+            "vid": np.int32(ei),
         }
 
 

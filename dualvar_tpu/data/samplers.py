@@ -54,6 +54,30 @@ def frame_sampler_test(
     return (np.arange(num_frames)[None, :] * ds + start).flatten()
 
 
+def n_test_windows(total: int, num_frames: int, ds: int) -> int:
+    """Number of half-overlapping test windows frame_sampler_test yields
+    (reference local_dataset.py:119-123: arange step span//2 - 1)."""
+    span = num_frames * ds
+    if total - span <= 0:
+        return 1
+    return len(range(0, total - span + 1, span // 2 - 1))
+
+
+def test_window(
+    rng: np.random.Generator, total: int, num_frames: int, ds: int, window: int
+) -> np.ndarray:
+    """Frame indices of one half-overlapping test window. Together with
+    ``n_test_windows`` this exposes frame_sampler_test's output one
+    static-shape window at a time, so the test protocols can average softmax
+    over ALL windows per video (reference classifier.py:612-628) by expanding
+    (video, window) records instead of padding to a max window count."""
+    span = num_frames * ds
+    if total - span <= 0:
+        return frame_sampler_test(rng, total, num_frames, ds)
+    starts = np.arange(0, total - span + 1, span // 2 - 1)
+    return np.arange(num_frames) * ds + starts[window]
+
+
 def prototype_sampler(
     rng: np.random.Generator, total: int, num_frames: int, ds: int
 ) -> np.ndarray:

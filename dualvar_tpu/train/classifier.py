@@ -449,31 +449,54 @@ def test_multicrop(cfg: ClassifierConfig, protocol: str = "ten") -> dict[str, fl
         return jax.nn.softmax(logit.astype(jnp.float32), axis=-1)
 
     variables = {"params": params, "batch_stats": batch_stats}
-    prob_sum: dict[int, np.ndarray] = {}
-    prob_n: dict[int, int] = {}
-    labels_by_vid: dict[int, int] = {}
+    n_vids = len(dataset.entries)
+    n_class = cfg.num_class
+    # nested accumulators: center ⊂ five ⊂ ten (reference reports all three
+    # from one 10-combination pass, classifier.py:629-653). prob sums and
+    # counts are gathered raw across hosts because one video's windows can
+    # span process shards.
+    groups = ["center", "five", "ten"][: {"center": 1, "five": 2, "ten": 3}[protocol]]
+    prob_sum = {g: np.zeros((n_vids, n_class), np.float64) for g in groups}
+    prob_n = {g: np.zeros(n_vids, np.int64) for g in groups}
+    labels_arr = np.full(n_vids, -1, np.int64)
     for flip in flip_list:
         for where in aug_list:
+            in_five = flip == 0
+            in_center = in_five and where == 5
             logger.info(f"Aug type: {where}; flip: {flip}")
             for batch in loader.epoch(0):
                 p = np.asarray(step(variables, jnp.asarray(batch["frames"]),
                                     where, flip))
-                for i, vid in enumerate(batch["vid"]):
-                    vid = int(vid)
-                    prob_sum[vid] = prob_sum.get(vid, 0.0) + p[i]
-                    prob_n[vid] = prob_n.get(vid, 0) + 1
-                    labels_by_vid[vid] = int(batch["label"][i])
+                vids = np.asarray(batch["vid"])
+                for g, member in (("center", in_center), ("five", in_five),
+                                  ("ten", True)):
+                    if g in prob_sum and member:
+                        np.add.at(prob_sum[g], vids, p)
+                        np.add.at(prob_n[g], vids, 1)
+                labels_arr[vids] = np.asarray(batch["label"])
 
-    vids = np.array(sorted(prob_sum))
-    local_probs = np.stack([prob_sum[v] / prob_n[v] for v in vids])
-    local_labels = np.array([labels_by_vid[v] for v in vids])
-    vids, mean_probs, labels = _dedupe_by_vid(
-        *_gather_concat(vids, local_probs, local_labels))
-    top1 = float(np.mean(mean_probs.argmax(1) == labels))
-    top5 = float(np.mean([
-        l in np.argsort(-p)[:5] for p, l in zip(mean_probs, labels)]))
-    logger.info(f"{protocol}-crop: Mean: Acc@1: {top1:.4f} Acc@5: {top5:.4f}")
-    out = {"top1": top1, "top5": top5}
+    if jax.process_count() > 1:
+        gathered = _gather_concat(
+            labels_arr[None],
+            *[prob_sum[g][None] for g in groups],
+            *[prob_n[g][None] for g in groups])
+        labels_arr = gathered[0].max(axis=0)
+        for i, g in enumerate(groups):
+            prob_sum[g] = gathered[1 + i].sum(axis=0)
+            prob_n[g] = gathered[1 + len(groups) + i].sum(axis=0)
+
+    out: dict[str, float] = {}
+    for g in groups:
+        seen = prob_n[g] > 0
+        mean_probs = prob_sum[g][seen] / prob_n[g][seen, None]
+        labels = labels_arr[seen]
+        top1 = float(np.mean(mean_probs.argmax(1) == labels))
+        k = min(5, n_class)
+        topk = np.argsort(-mean_probs, axis=1)[:, :k]
+        top5 = float(np.mean((topk == labels[:, None]).any(axis=1)))
+        logger.info(f"{g}-crop: Mean: Acc@1: {top1:.4f} Acc@5: {top5:.4f}")
+        out[f"{g}_top1"], out[f"{g}_top5"] = top1, top5
+    out["top1"], out["top5"] = out[f"{protocol}_top1"], out[f"{protocol}_top5"]
     if jax.process_index() == 0:
         with open(os.path.join(exp_path, f"prob-{protocol}.json"), "w") as f:
             json.dump(out, f)

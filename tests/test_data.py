@@ -113,3 +113,27 @@ def test_host_loader_drop_last():
     assert len(keep) == 3 and len(drop) == 2
     batches = list(keep.epoch(0))
     assert [len(b["label"]) for b in batches] == [4, 4, 2]
+
+
+def test_classifier_dataset_test_mode_enumerates_all_windows():
+    # every half-overlapping window of every video becomes one record with
+    # the video's vid; per-vid prob averaging then reproduces the reference's
+    # mean-over-windows protocol (classifier.py:612-628)
+    from dualvar_tpu.data import samplers as S
+    from dualvar_tpu.data.loader import (ClassifierDataset,
+                                         SyntheticFrameSource,
+                                         synthetic_entries)
+
+    entries, ci = synthetic_entries(6, 2)
+    ds = ClassifierDataset(entries=entries, class_index=ci,
+                           source=SyntheticFrameSource(scale=(24, 20)),
+                           num_frames=16, ds=2, mode="test")
+    expected = sum(S.n_test_windows(e.vlen, 16, 2) for e in entries)
+    assert len(ds) == expected > len(entries)  # synthetic vlen >= 60 -> multi
+    rng = np.random.default_rng(0)
+    vids = [int(ds(i, rng)["vid"]) for i in range(len(ds))]
+    counts = np.bincount(vids, minlength=len(entries))
+    for ei, e in enumerate(entries):
+        assert counts[ei] == S.n_test_windows(e.vlen, 16, 2)
+    sample = ds(0, rng)
+    assert sample["frames"].shape == (16, 24, 20, 3)

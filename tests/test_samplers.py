@@ -80,3 +80,22 @@ def test_tenclip_sampler_short_video():
     idx = S.tenclip_sampler(total=10, num_frames=16, ds=2)
     assert idx.shape == (160,)
     assert idx.max() == 9  # clamped to last frame
+
+
+def test_test_windows_reconstruct_full_sampler():
+    # n_test_windows x test_window == frame_sampler_test's flattened windows
+    # (reference local_dataset.py:107-123)
+    for total in (300, 97, 33, 20):  # long, medium, barely-one, short
+        full = S.frame_sampler_test(rng(0), total, 16, 2)
+        n = S.n_test_windows(total, 16, 2)
+        assert n * 16 == len(full)
+        got = np.concatenate(
+            [S.test_window(rng(0), total, 16, 2, w) for w in range(n)])
+        np.testing.assert_array_equal(got, full)
+
+
+def test_test_windows_short_video_single():
+    assert S.n_test_windows(10, 16, 2) == 1
+    idx = S.test_window(rng(5), 10, 16, 2, 0)
+    assert idx.shape == (16,)
+    assert idx.min() >= 0 and idx.max() < 10
