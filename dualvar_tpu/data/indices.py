@@ -63,6 +63,13 @@ def load_split(
     """
     split_mode = "train" if mode == "val" else mode
     csv_path = os.path.join(root, f"{split_mode}_split{which_split:02d}.csv")
+    if not os.path.exists(csv_path):
+        raise FileNotFoundError(
+            f"split index {csv_path} not found. Generate it from your frame "
+            "tree with `python -m dualvar_tpu.data.prep.write_csv ...` — "
+            "see process_data/data/README.md for the one-command flow "
+            "(ClassInd.txt and the official UCF101 split lists are vendored "
+            "there).")
     info = pd.read_csv(csv_path, header=None)
     info[2] = info[0].str.split("/").str.get(-3)
     info[3] = info[2] + "/" + info[0].str.split("/").str.get(-2)

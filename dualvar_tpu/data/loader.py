@@ -150,8 +150,22 @@ def synthetic_entries(
 
 @dataclass
 class PretrainDataset:
-    """Stage-prototype 3-view pretrain samples (reference
-    UCF101LMDB_2CLIP_Stage_Prototype, local_dataset.py:246-308)."""
+    """Multi-clip pretrain samples; ``variant`` selects the clip sampler,
+    mirroring the reference's 2-CLIP dataset family:
+
+    * ``stage-prototype`` — two stage-prototype clips (+ clip1 again when
+      aug_series), reference UCF101LMDB_2CLIP_Stage_Prototype
+      (local_dataset.py:246-308);
+    * ``prototype`` — two center-clipped prototype clips, reference
+      UCF101LMDB_2CLIP_Protytype (local_dataset.py:204-244);
+    * ``2clip`` — two independent train windows via double_sampler,
+      reference UCF101LMDB_2CLIP (local_dataset.py:140-143).
+
+    ``aug_series`` appends clip1's indices as a third view for the
+    TimeSeriesV4 shuffle-rank pass (local_dataset.py:291-292); the plain
+    variants default to the reference's 2-view output but honor it too, so
+    every variant can feed every model family.
+    """
 
     entries: list[VideoEntry]
     class_index: ClassIndex
@@ -160,15 +174,30 @@ class PretrainDataset:
     ds: int = 4
     rand_flip: bool = True
     aug_series: bool = True
+    variant: str = "stage-prototype"
 
     def __len__(self):
         return len(self.entries)
 
+    def _indices(self, rng: np.random.Generator, vlen: int) -> np.ndarray:
+        T = self.num_frames
+        if self.variant == "stage-prototype":
+            return samplers.stage_prototype_views(
+                rng, vlen, T, self.ds, self.rand_flip, self.aug_series)
+        if self.variant == "prototype":
+            idx1 = samplers.prototype_sampler(rng, vlen, T, self.ds)
+            idx2 = samplers.prototype_sampler(rng, vlen, T, self.ds)
+        elif self.variant == "2clip":
+            both = samplers.double_sampler(rng, vlen, T, self.ds)
+            idx1, idx2 = both[:T], both[T:]
+        else:
+            raise ValueError(f"unknown pretrain dataset variant {self.variant!r}")
+        out = np.concatenate([idx1, idx2])
+        return np.concatenate([out, idx1]) if self.aug_series else out
+
     def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
         e = self.entries[index]
-        idx = samplers.stage_prototype_views(
-            rng, e.vlen, self.num_frames, self.ds, self.rand_flip, self.aug_series
-        )
+        idx = self._indices(rng, e.vlen)
         return {
             "frames": self.source(e.vname, idx),
             "label": np.int32(self.class_index.encode(e.vlabel)),

@@ -67,7 +67,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("dataset", choices=["ucf101", "hmdb51", "k400"])
     p.add_argument("--frame_root", required=True)
-    p.add_argument("--split_root", required=True)
+    p.add_argument("--split_root", default="",
+                   help="dir of official split lists (unused for k400)")
     p.add_argument("--out_root", required=True)
     p.add_argument("--which_split", type=int, default=0, help="0 = all three")
     args = p.parse_args()

@@ -117,7 +117,20 @@ def make_train_step(task, tx, aug_cfg: AugConfig):
     return train_step
 
 
-def build_dataset(cfg: PretrainConfig):
+def dataset_variant(dataset: str) -> str:
+    """Map the reference's dataset-name suffixes to pretrain clip-sampler
+    variants (reference get_data, pretrain.py:535-548; dataset classes
+    local_dataset.py:55,204,246)."""
+    if dataset.endswith("2clip-stage-prototype"):
+        return "stage-prototype"
+    if dataset.endswith("2clip-prototype"):
+        return "prototype"
+    if dataset.endswith("2clip"):
+        return "2clip"
+    return "stage-prototype"
+
+
+def build_dataset(cfg: PretrainConfig, n_views: int = 3):
     d = cfg.data
     if d.synthetic:
         entries, class_index = synthetic_entries(
@@ -130,10 +143,14 @@ def build_dataset(cfg: PretrainConfig):
         entries = load_split(root, mode="train", which_split=d.which_split)
         class_index = load_class_index(root)
         source = JpegFrameSource(d.db_path, scale=d.scale_hw)
+    # 2-view models don't need the aug_series third view; skip assembling,
+    # decoding, and augmenting it (the reference always built it and the
+    # round-1 driver sliced it off on device)
+    aug_series = cfg.aug.aug_series and n_views == 3
     return PretrainDataset(
         entries=entries, class_index=class_index, source=source,
         num_frames=d.seq_len, ds=d.ds, rand_flip=cfg.aug.rand_flip,
-        aug_series=cfg.aug.aug_series,
+        aug_series=aug_series, variant=dataset_variant(d.dataset),
     )
 
 
@@ -161,7 +178,8 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
     logger.info(f"=> creating {cfg.model.model} with '{cfg.model.net}' backbone")
 
     mesh = data_mesh_for_batch(cfg.optim.batch_size)
-    dataset = build_dataset(cfg)
+    task = make_task(cfg.model)
+    dataset = build_dataset(cfg, task.n_views)
     loader = HostLoader(
         dataset, cfg.optim.batch_size, shuffle=True, seed=cfg.run.seed,
         num_workers=cfg.data.workers,
@@ -175,7 +193,6 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
         aug_temp_consist=cfg.aug.aug_temp_consist,
         aug_temp_grad_consist=cfg.aug.aug_temp_grad_consist,
     )
-    task = make_task(cfg.model)
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
 
     rng = jax.random.PRNGKey(cfg.run.seed)

@@ -137,3 +137,74 @@ def test_classifier_dataset_test_mode_enumerates_all_windows():
         assert counts[ei] == S.n_test_windows(e.vlen, 16, 2)
     sample = ds(0, rng)
     assert sample["frames"].shape == (16, 24, 20, 3)
+
+
+def test_pretrain_dataset_variants():
+    # 2clip / prototype / stage-prototype clip assembly (reference
+    # local_dataset.py:55-175, 204-244, 246-308)
+    from dualvar_tpu.data.loader import (PretrainDataset,
+                                         SyntheticFrameSource,
+                                         synthetic_entries)
+
+    entries, ci = synthetic_entries(4, 2)
+    src = SyntheticFrameSource(scale=(24, 20))
+    for variant, aug_series, views in (("2clip", False, 2),
+                                       ("2clip", True, 3),
+                                       ("prototype", False, 2),
+                                       ("stage-prototype", True, 3)):
+        ds = PretrainDataset(entries=entries, class_index=ci, source=src,
+                             num_frames=8, ds=2, aug_series=aug_series,
+                             variant=variant)
+        s = ds(0, np.random.default_rng(0))
+        assert s["frames"].shape == (views * 8, 24, 20, 3), variant
+    # aug_series appends clip1 again: view 3 == view 1
+    ds = PretrainDataset(entries=entries, class_index=ci, source=src,
+                         num_frames=8, ds=2, aug_series=True, variant="2clip")
+    f = ds(1, np.random.default_rng(1))["frames"]
+    np.testing.assert_array_equal(f[:8], f[16:])
+
+
+def test_dataset_variant_name_mapping():
+    from dualvar_tpu.train.pretrain import dataset_variant
+
+    assert dataset_variant("ucf101-2clip-stage-prototype") == "stage-prototype"
+    assert dataset_variant("k400-2clip-stage-prototype") == "stage-prototype"
+    assert dataset_variant("ucf101-2clip-prototype") == "prototype"
+    assert dataset_variant("ucf101-2clip") == "2clip"
+    assert dataset_variant("ucf101") == "stage-prototype"
+
+
+def test_vendored_class_indices():
+    # official class lists vendored under process_data/data (SURVEY §2.1 #21)
+    import os
+
+    from dualvar_tpu.data.indices import load_class_index
+
+    root = os.path.join(os.path.dirname(__file__), "..", "process_data", "data")
+    for name, n in (("ucf101", 101), ("hmdb51", 51), ("k400", 400)):
+        ci = load_class_index(os.path.join(root, name))
+        assert len(ci.classes) == n
+    ucf = load_class_index(os.path.join(root, "ucf101"))
+    assert ucf.encode("ApplyEyeMakeup") == 0
+
+
+def test_vendored_ucf_split_lists_parse():
+    import os
+
+    from dualvar_tpu.data.prep.write_csv import ucf101_split_videos
+
+    root = os.path.join(os.path.dirname(__file__), "..", "process_data",
+                        "data", "ucf101")
+    train = ucf101_split_videos(root, 1, "train")
+    test = ucf101_split_videos(root, 1, "test")
+    assert len(train) == 9537 and len(test) == 3783  # official split-1 sizes
+    assert all("/" in v and not v.endswith(".avi") for v in train[:5])
+
+
+def test_load_split_missing_csv_message(tmp_path):
+    import pytest
+
+    from dualvar_tpu.data.indices import load_split
+
+    with pytest.raises(FileNotFoundError, match="write_csv"):
+        load_split(str(tmp_path), mode="train")

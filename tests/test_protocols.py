@@ -100,3 +100,27 @@ def test_temporal_tenclip_resumes_trained_checkpoint(clf_cfg, tmp_path):
     cfg = dc.replace(clf_cfg, run=dc.replace(clf_cfg.run, resume=ckpt_dir))
     out = test_temporal_tenclip(cfg)
     assert 0.0 <= out["top1"] <= 1.0
+
+
+@pytest.mark.parametrize("dataset_name,model", [
+    ("ucf101-2clip", "simclr_naked"),
+    ("ucf101-2clip-prototype", "simclr_naked"),
+])
+def test_pretrain_variants_smoke(dataset_name, model, tmp_path):
+    # reference get_data selects dataset classes by name (pretrain.py:535-548)
+    import dataclasses
+
+    from dualvar_tpu.core.config import PRETRAIN_PRESETS, ModelConfig
+    from dualvar_tpu.train.pretrain import train
+
+    cfg = PRETRAIN_PRESETS["smoke"]
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, dataset=dataset_name, seq_len=4,
+                                 img_dim=32, scale_hw=(40, 36)),
+        model=ModelConfig(net="r3d", model=model, dtype="float32"),
+        run=dataclasses.replace(cfg.run, log_root=str(tmp_path),
+                                prefix=f"smoke_{dataset_name}"),
+    )
+    final = train(cfg, max_steps=2)
+    assert any(k.endswith("_loss") for k in final)
+    assert all(np.isfinite(v) for v in final.values())
