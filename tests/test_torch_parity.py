@@ -409,3 +409,197 @@ def test_s3dg_inception_block_matches_torch():
     yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
     assert yt.shape == yj.shape
     np.testing.assert_allclose(yj, yt, atol=2e-4, rtol=1e-3)
+
+
+class TorchS3DFull(nn.Module):
+    """Full S3D(-G) spec (reference backbone/s3dg.py:135-218, non-slow)."""
+
+    PLANES = {
+        "Mixed_3b": (192, [64, 96, 128, 16, 32, 32]),
+        "Mixed_3c": (256, [128, 128, 192, 32, 96, 64]),
+        "Mixed_4b": (480, [192, 96, 208, 16, 48, 64]),
+        "Mixed_4c": (512, [160, 112, 224, 24, 64, 64]),
+        "Mixed_4d": (512, [128, 128, 256, 24, 64, 64]),
+        "Mixed_4e": (512, [112, 144, 288, 32, 64, 64]),
+        "Mixed_4f": (528, [256, 160, 320, 32, 128, 128]),
+        "Mixed_5b": (832, [256, 160, 320, 32, 128, 128]),
+        "Mixed_5c": (832, [384, 192, 384, 48, 128, 128]),
+    }
+
+    def __init__(self, gating=True):
+        super().__init__()
+        self.conv_1a = TorchS3DST(3, 64, 7, 2, 3)
+        self.conv_2b = TorchBasicConv(64, 64, 1)
+        self.conv_2c = TorchS3DST(64, 192, 3, 1, 1)
+        self.mixed = nn.ModuleDict({
+            name: TorchSepInception(cin, planes, gating=gating)
+            for name, (cin, planes) in self.PLANES.items()
+        })
+
+    def forward(self, x):
+        mp = torch.nn.functional.max_pool3d
+        x = self.conv_1a(x)
+        x = mp(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        x = self.conv_2c(self.conv_2b(x))
+        x = mp(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        x = self.mixed["Mixed_3c"](self.mixed["Mixed_3b"](x))
+        x = mp(x, 3, 2, 1)
+        for n in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = self.mixed[n](x)
+        x = mp(x, 2, 2, 0)
+        return self.mixed["Mixed_5c"](self.mixed["Mixed_5b"](x))
+
+
+def copy_inception(t: "TorchSepInception", jp, js, gating=True):
+    copy_basic(t.b0, jp["branch0"], js["branch0"])
+    copy_basic(t.b1_0, jp["branch1_0"], js["branch1_0"])
+    copy_st(t.b1_1, jp["branch1_1"], js["branch1_1"])
+    copy_basic(t.b2_0, jp["branch2_0"], js["branch2_0"])
+    copy_st(t.b2_1, jp["branch2_1"], js["branch2_1"])
+    copy_basic(t.b3_1, jp["branch3_1"], js["branch3_1"])
+    if gating:
+        for gname, fc in (("gating_b0", t.g0), ("gating_b1", t.g1),
+                          ("gating_b2", t.g2), ("gating_b3", t.g3)):
+            jp[gname]["fc"]["kernel"] = jnp.asarray(fc.weight.detach().numpy().T)
+            jp[gname]["fc"]["bias"] = jnp.asarray(fc.bias.detach().numpy())
+
+
+def test_s3dg_full_net_matches_torch():
+    """Full S3D-G with transplanted weights (reference s3dg.py:135-218)."""
+    torch.manual_seed(5)
+    tm = TorchS3DFull(gating=True).eval()
+    for m in tm.modules():
+        if isinstance(m, nn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+
+    model, param = select_backbone("s3dg")
+    assert param["feature_size"] == 1024
+    x_np = np.random.RandomState(5).rand(1, 3, 8, 64, 64).astype(np.float32)
+    xj = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))
+    variables = model.init(jax.random.PRNGKey(0), xj, train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    copy_st(tm.conv_1a, params["Conv_1a"], stats["Conv_1a"])
+    copy_basic(tm.conv_2b, params["Conv_2b"], stats["Conv_2b"])
+    copy_st(tm.conv_2c, params["Conv_2c"], stats["Conv_2c"])
+    for name in TorchS3DFull.PLANES:
+        copy_inception(tm.mixed[name], params[name], stats[name])
+
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x_np)).numpy()
+    yj = model.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+    assert yt.shape == yj.shape
+    np.testing.assert_allclose(yj, yt, atol=5e-4, rtol=1e-3)
+
+
+class TorchR2D3DBlock(nn.Module):
+    """BasicBlock2d (reference resnet_2d3d.py:45-80): (1,3,3) convs,
+    spatial-only strides."""
+
+    def __init__(self, cin, cout, stride, final_relu=True):
+        super().__init__()
+        self.conv1 = nn.Conv3d(cin, cout, (1, 3, 3), stride=(1, stride, stride),
+                               padding=(0, 1, 1), bias=False)
+        self.bn1 = nn.BatchNorm3d(cout)
+        self.conv2 = nn.Conv3d(cout, cout, (1, 3, 3), padding=(0, 1, 1),
+                               bias=False)
+        self.bn2 = nn.BatchNorm3d(cout)
+        self.final_relu = final_relu
+        self.has_ds = stride != 1 or cin != cout
+        if self.has_ds:
+            self.dconv = nn.Conv3d(cin, cout, 1, stride=(1, stride, stride),
+                                   bias=False)
+            self.dbn = nn.BatchNorm3d(cout)
+
+    def forward(self, x):
+        r = torch.relu(self.bn1(self.conv1(x)))
+        r = self.bn2(self.conv2(r))
+        if self.has_ds:
+            x = self.dbn(self.dconv(x))
+        out = x + r
+        return torch.relu(out) if self.final_relu else out
+
+
+class TorchR2D3D18(nn.Module):
+    """ResNet2d3d_full([BasicBlock2d]*4, [2,2,2,2]) (reference :203-269,352)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv3d(3, 64, (1, 7, 7), stride=(1, 2, 2),
+                               padding=(0, 3, 3), bias=False)
+        self.bn1 = nn.BatchNorm3d(64)
+        blocks = []
+        inp = 64
+        for li, (planes, stride) in enumerate(
+                [(64, 1), (128, 2), (256, 2), (256, 2)]):
+            for bi in range(2):
+                final_relu = not (li == 3 and bi == 1)
+                blocks.append(TorchR2D3DBlock(
+                    inp, planes, stride if bi == 0 else 1, final_relu))
+                inp = planes
+        self.blocks = nn.ModuleList(blocks)
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = torch.nn.functional.max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+def test_r2d3d18_matches_torch_eval_mode():
+    torch.manual_seed(6)
+    tm = TorchR2D3D18().eval()
+    for m in tm.modules():
+        if isinstance(m, nn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+
+    model, param = select_backbone("r2d3d18")
+    assert param["feature_size"] == 256
+    x_np = np.random.RandomState(6).rand(1, 3, 4, 64, 64).astype(np.float32)
+    xj = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))
+    variables = model.init(jax.random.PRNGKey(0), xj, train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    params["conv1"]["kernel"] = t2j_conv(tm.conv1.weight)
+    copy_bn(tm.bn1, params["bn1"]["bn"], stats["bn1"]["bn"])
+    for i, block in enumerate(tm.blocks):
+        name = f"layer{i // 2 + 1}_block{i % 2}"
+        params[name]["conv1"]["kernel"] = t2j_conv(block.conv1.weight)
+        params[name]["conv2"]["kernel"] = t2j_conv(block.conv2.weight)
+        copy_bn(block.bn1, params[name]["bn1"]["bn"], stats[name]["bn1"]["bn"])
+        copy_bn(block.bn2, params[name]["bn2"]["bn"], stats[name]["bn2"]["bn"])
+        if block.has_ds:
+            params[name]["downsample_conv"]["kernel"] = t2j_conv(block.dconv.weight)
+            copy_bn(block.dbn, params[name]["downsample_bn"]["bn"],
+                    stats[name]["downsample_bn"]["bn"])
+
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x_np)).numpy()
+    yj = model.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    yj = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+    assert yt.shape == yj.shape
+    np.testing.assert_allclose(yj, yt, atol=2e-4, rtol=1e-3)
+
+
+def test_param_count_goldens():
+    """Param-count goldens for every backbone registry entry (the reference's
+    __main__ smoke contract, e.g. backbone/r21d.py:269-280)."""
+    # values cross-checked against equal-spec torch models (this file)
+    goldens = {
+        "r3d": 14_361_792, "r21d": 14_365_303, "c3d": 27_661_440,
+        "s3d": 7_910_048, "s3dg": 9_098_000, "r2d3d18": 5_210_176,
+        "r50": 17_401_920,
+    }
+    for name, expected in goldens.items():
+        model, _ = select_backbone(name)
+        xj = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda m=model, x=xj: m.init(jax.random.PRNGKey(0), x, train=False))
+        n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(variables["params"]))
+        assert n == expected, (name, n, expected)
