@@ -53,6 +53,10 @@ class ModelConfig:
     moco_k: int = 2048  # pretrain.py:108
     moco_m: float = 0.999  # pretrain.py:110
     moco_t: float = 0.07  # pretrain.py:112
+    # BN batch-shuffle parity mode: >0 splits the key batch into this many
+    # per-"device" BN groups after a random permutation (reference
+    # moco.py:128-173 _batch_shuffle_ddp); 0 = global-batch BN (default)
+    moco_shuffle_bn: int = 0
     n_series: int = 2  # pretrain.py:97
     series_dim: int = 64  # pretrain.py:96
     shufflerank_theta: float = 0.05  # pretrain.py:98

@@ -144,6 +144,43 @@ def dequeue_and_enqueue(queue: jax.Array, ptr: jax.Array, keys: jax.Array):
     return new_queue, new_ptr
 
 
+def shuffled_key_encode(
+    encoder: MoCoEncoder,
+    vars_k,
+    x2: jax.Array,
+    rng: jax.Array,
+    groups: int,
+):
+    """BN batch-shuffle parity mode (reference moco.py:128-173).
+
+    The reference shuffles the key batch across GPUs so each GPU's *local*
+    BN statistics are computed on a random subset, then unshuffles. The
+    default TPU build uses global-batch BN (the leak the shuffle defeats
+    cannot occur), but for fidelity ablations this reproduces the per-device
+    stream exactly: permute the global batch, split into ``groups``
+    device-sized groups, run the key encoder vmapped over groups (BN reduces
+    within each group only — per-GPU BN semantics), invert the permutation.
+    Running stats take the group mean (the reference leaves per-GPU copies
+    unsynced; a replicated state needs one value).
+    """
+    B = x2.shape[0]
+    assert B % groups == 0, (B, groups)
+    perm = jax.random.permutation(rng, B)
+    inv = jnp.argsort(perm)
+    xs = x2[perm].reshape(groups, B // groups, *x2.shape[1:])
+
+    def enc(xg):
+        (k, s), upd = encoder.apply(vars_k, xg, True, mutable=["batch_stats"])
+        return k, s, upd["batch_stats"]
+
+    k, series, bs = jax.vmap(enc)(xs)
+    k = k.reshape(B, *k.shape[2:])[inv]
+    if series is not None:
+        series = series.reshape(B, *series.shape[2:])[inv]
+    new_bs = jax.tree.map(lambda a: a.mean(axis=0), bs)
+    return k, series, {"batch_stats": new_bs}
+
+
 def moco_naked_forward(
     encoder: MoCoEncoder,
     variables_q,
@@ -152,11 +189,14 @@ def moco_naked_forward(
     m: float,
     temperature: float,
     train: bool = True,
+    rng: jax.Array | None = None,
+    shuffle_bn_groups: int = 0,
 ):
     """Reference moco.py:175-239 (MoCo_Naked.forward).
 
     ``block``: (B, 2, T, H, W, C). Returns (ret dict, mutated q variables,
-    new MoCoState).
+    new MoCoState). ``shuffle_bn_groups`` > 0 enables the BN batch-shuffle
+    parity mode for the key pass (reference moco.py:128-173).
     """
     B = block.shape[0]
     x1, x2 = block[:, 0], block[:, 1]
@@ -167,9 +207,13 @@ def moco_naked_forward(
 
     params_k = momentum_update(variables_q["params"], state.params_k, m) if train else state.params_k
     vars_k = {"params": params_k, "batch_stats": state.batch_stats_k}
-    (k, _), updated_k = encoder.apply(
-        vars_k, x2, train, mutable=["batch_stats"] if train else []
-    )
+    if train and shuffle_bn_groups:
+        k, _, updated_k = shuffled_key_encode(
+            encoder, vars_k, x2, rng, shuffle_bn_groups)
+    else:
+        (k, _), updated_k = encoder.apply(
+            vars_k, x2, train, mutable=["batch_stats"] if train else []
+        )
     k = jax.lax.stop_gradient(k)
 
     ret = moco_contrast_loss(q, k, state.queue, temperature, "clip_")
@@ -198,11 +242,14 @@ def moco_timeseries_forward(
     perm: jax.Array | None = None,
     rng: jax.Array | None = None,
     train: bool = True,
+    shuffle_bn_groups: int = 0,
 ):
     """Reference moco.py:482-573 (MoCo_TimeSeriesV4.forward).
 
     ``block``: (B, 3, T, H, W, C) with views [clip1-aug-a, clip2, clip1-aug-b].
     Returns (ret dict, mutated q variables, new MoCoState).
+    ``shuffle_bn_groups`` > 0 enables the BN batch-shuffle parity mode for
+    the key pass (reference moco.py:128-173).
     """
     B = block.shape[0]
     n_series = encoder.n_series
@@ -215,7 +262,13 @@ def moco_timeseries_forward(
     # momentum update then key pass (reference order, moco.py:508)
     params_k = momentum_update(variables_q["params"], state.params_k, m) if train else state.params_k
     vars_k = {"params": params_k, "batch_stats": state.batch_stats_k}
-    (k, series_k), updated_k = encoder.apply(vars_k, x2, train, mutable=mut)
+    if train and shuffle_bn_groups:
+        # fold_in (not split) so the SR perm below sees the same rng stream
+        # as the global-BN path
+        k, series_k, updated_k = shuffled_key_encode(
+            encoder, vars_k, x2, jax.random.fold_in(rng, 7), shuffle_bn_groups)
+    else:
+        (k, series_k), updated_k = encoder.apply(vars_k, x2, train, mutable=mut)
     k = jax.lax.stop_gradient(k)
     series_k = jax.lax.stop_gradient(series_k)
 

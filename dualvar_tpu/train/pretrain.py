@@ -349,6 +349,8 @@ def main():
     p.add_argument("--moco-k", dest="moco_k", type=int, default=None)
     p.add_argument("--moco-m", dest="moco_m", type=float, default=None)
     p.add_argument("--moco-t", dest="moco_t", type=float, default=None)
+    p.add_argument("--moco_shuffle_bn", type=int, default=None,
+                   help="BN batch-shuffle parity mode: number of BN groups")
     # dataset group
     p.add_argument("--dataset", default=None)
     p.add_argument("--data_root", default=None)
@@ -389,7 +391,8 @@ def main():
         model=_override(cfg.model, args,
                         ("net", "model", "mode", "n_series", "series_dim",
                          "shufflerank_theta", "series_T", "aligned_T",
-                         "moco_dim", "moco_k", "moco_m", "moco_t")),
+                         "moco_dim", "moco_k", "moco_m", "moco_t",
+                         "moco_shuffle_bn")),
         optim=_override(
             dataclasses.replace(
                 cfg.optim,

@@ -115,17 +115,19 @@ class MoCoTask:
 
     def forward(self, params, state: TaskState, block, rng, train: bool):
         variables = {"params": params, "batch_stats": state.batch_stats}
+        groups = self.cfg.moco_shuffle_bn
         if self.naked:
             ret, updated_q, new_moco = moco_naked_forward(
                 self.encoder, variables, state.moco, block,
-                self.cfg.moco_m, self.cfg.moco_t, train=train,
+                self.cfg.moco_m, self.cfg.moco_t, train=train, rng=rng,
+                shuffle_bn_groups=groups,
             )
         else:
             ret, updated_q, new_moco = moco_timeseries_forward(
                 self.encoder, variables, state.moco, block,
                 self.cfg.moco_m, self.cfg.moco_t, self.cfg.aligned_T,
                 mode=self.cfg.mode, dtw_gamma=self.cfg.dtw_gamma,
-                rng=rng, train=train,
+                rng=rng, train=train, shuffle_bn_groups=groups,
             )
         new_bs = updated_q.get("batch_stats", state.batch_stats) if train \
             else state.batch_stats

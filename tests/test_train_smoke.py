@@ -157,3 +157,51 @@ def test_simclr_dtw_mode_train_step_sharded():
     state, m1, m2 = _run_two_steps("simclr_timeseriesv4", mode="clip-sr-dtw")
     assert "tc_loss" in m1
     assert m1["tc_loss"] != m2["tc_loss"]
+
+
+def test_moco_shuffle_bn_parity_mode():
+    """BN batch-shuffle mode (reference moco.py:128-173) vs global-BN.
+
+    groups=1 is the identity transform of the shuffle machinery (permute ->
+    one BN group -> inverse permute) so it must match global BN exactly;
+    groups=4 (per-'device' stats over 2-sample groups at this smoke scale)
+    may only drift within convergence tolerance."""
+    outs = {}
+    for groups in (0, 1, 4):
+        cfg = _tiny_cfg("moco_timeseriesv4", moco_k=32, moco_shuffle_bn=groups)
+        mesh = make_mesh()
+        aug_cfg = AugConfig(img_dim=IMG, seq_len=SEQ)
+        task = make_task(cfg.model)
+        tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+        rng = jax.random.PRNGKey(0)
+        B = cfg.optim.batch_size
+        example = jnp.zeros((B, task.n_views, SEQ, IMG, IMG, 3), jnp.float32)
+        t = task.init(rng, example)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=t.params,
+                           batch_stats=t.batch_stats, moco=t.moco,
+                           opt_state=tx.init(t.params))
+        state = jax.device_put(state, replicated(mesh))
+        frames = jax.device_put(
+            np.random.default_rng(0).integers(0, 255, (B, 3 * SEQ, H0, W0, 3),
+                                              dtype=np.uint8),
+            batch_sharding(mesh))
+        step = jax.jit(make_train_step(task, tx, aug_cfg),
+                       out_shardings=(replicated(mesh), replicated(mesh)))
+        state, m = step(state, frames, rng)
+        state, m = step(state, frames, rng)
+        outs[groups] = (jax.device_get(m), jax.device_get(state.moco.queue))
+    m0, q0 = outs[0]
+    m1, q1 = outs[1]
+    m4, q4 = outs[4]
+    # exact parity: one group == global BN
+    for k in m0:
+        if k.endswith("loss"):
+            np.testing.assert_allclose(m1[k], m0[k], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(q1, q0, rtol=1e-3, atol=1e-5)
+    # statistical parity: per-group stats drift but stay within convergence
+    # tolerance; queue rows hold the (normalised) key embeddings
+    for k in m0:
+        if k.endswith("loss"):
+            assert abs(m4[k] - m0[k]) < 0.2 * (abs(m0[k]) + 1e-2), (
+                k, m0[k], m4[k])
+    assert np.abs(q4 - q0).mean() < 0.05
