@@ -21,6 +21,7 @@ Prints exactly one JSON line to stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,6 +33,105 @@ import optax
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _write_synthetic_jpegs(root: str, n_videos: int, vlen: int,
+                           scale=(171, 128)):
+    """One-time synthetic JPEG tree in the JpegFrameSource layout
+    ({video}/image_%05d.jpg). Deterministic; cached across runs."""
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return
+    from PIL import Image
+
+    from dualvar_tpu.data.loader import SyntheticFrameSource, synthetic_entries
+
+    entries, _ = synthetic_entries(n_videos, 8, min_len=vlen, max_len=vlen + 1)
+    src = SyntheticFrameSource(scale=scale)
+    for e in entries:
+        d = os.path.join(root, e.vname)
+        os.makedirs(d, exist_ok=True)
+        frames = src(e.vname, np.arange(vlen))
+        for i in range(vlen):
+            Image.fromarray(frames[i]).save(
+                os.path.join(d, f"image_{i + 1:05d}.jpg"), quality=80)
+    open(marker, "w").write("ok")
+
+
+def input_pipeline_bench(train_step, params, batch_stats, opt_state, B, T):
+    """Feed the SAME train step through the real host path: JPEG files ->
+    native decoder -> HostLoader threads -> one-step-ahead device placement
+    (the FastDataLoader role, reference utils/utils.py:267-311).
+
+    Reports achieved clips/s next to per-core decode rate and the host core
+    count — on a 1-core container this is decode-bound by construction, so
+    the companion numbers say how many cores saturate the chip.
+    """
+    from dualvar_tpu.data.loader import (HostLoader, JpegFrameSource,
+                                         PretrainDataset, synthetic_entries)
+
+    root = "/tmp/dualvar_bench_jpegs"
+    n_videos, vlen = 4 * B + 16, 140  # >=4 batches/epoch so prefetch overlaps
+    t0 = time.perf_counter()
+    _write_synthetic_jpegs(root, n_videos, vlen)
+    log(f"jpeg tree ready in {time.perf_counter() - t0:.1f}s")
+
+    entries, class_index = synthetic_entries(n_videos, 8, min_len=vlen,
+                                             max_len=vlen + 1)
+    ncores = len(os.sched_getaffinity(0))
+    source = JpegFrameSource(root, scale=(171, 128),
+                             native_threads=max(1, min(4, ncores)))
+    dataset = PretrainDataset(
+        entries=entries, class_index=class_index, source=source,
+        num_frames=T, ds=4, rand_flip=False, aug_series=False)
+
+    # standalone decode rate (one worker): clips/s-equivalent on this host
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    n_probe = 8
+    for i in range(n_probe):
+        dataset(i % n_videos, rng)
+    dt_probe = (time.perf_counter() - t0) / n_probe
+    decode_clips = 2 / dt_probe  # 2 views per sample
+    log(f"host decode: {dt_probe * 1e3:.0f} ms/sample (2x{T} frames) = "
+        f"{decode_clips:.1f} clips/s/core on {ncores} core(s)")
+
+    # H2D probe: on this rig transfers ride the axon tunnel (~tens of MB/s
+    # vs ~20 GB/s PCIe on a real TPU host) — measured so the end-to-end
+    # number can be attributed
+    probe = np.zeros((B, 2 * T, 171, 128, 3), np.uint8)
+    d = jax.device_put(probe)
+    _ = float(jnp.sum(d[:1, 0, 0, 0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    d = jax.device_put(probe)
+    _ = float(jnp.sum(d[:1, 0, 0, 1].astype(jnp.float32)))
+    h2d_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    log(f"H2D: {h2d_mbps:.0f} MB/s for a {probe.nbytes / 1e6:.0f} MB batch")
+
+    loader = HostLoader(dataset, B, shuffle=True, seed=0,
+                        num_workers=max(2, 2 * ncores), drop_last=True)
+    key = jax.random.PRNGKey(1)
+    n_steps, clips = 0, 0
+    t0 = time.perf_counter()
+    lookahead = None
+    for epoch in range(1000):
+        for b in loader.epoch(epoch):
+            frames = jax.device_put(b["frames"])
+            if lookahead is not None:
+                params, batch_stats, opt_state, loss = train_step(
+                    params, batch_stats, opt_state, lookahead,
+                    jax.random.fold_in(key, n_steps))
+                n_steps += 1
+                clips += B * 2
+            lookahead = frames
+            if n_steps >= 4:
+                break
+        if n_steps >= 4:
+            break
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+    achieved = clips / dt
+    return achieved, decode_clips, ncores, h2d_mbps
 
 
 def main():
@@ -125,6 +225,38 @@ def main():
             f"A100 reference estimate {a100_est:.1f} clips/s")
     else:
         a100_est = float("nan")
+
+    if "--input-pipeline" in sys.argv:
+        achieved, decode_clips, ncores, h2d_mbps = input_pipeline_bench(
+            step, params, batch_stats, opt_state, B, T)
+        need = clips_per_sec / max(decode_clips, 1e-9)
+        # bytes/clip of uint8 frames -> H2D-sustainable clip rate
+        clip_bytes = T * 171 * 128 * 3
+        h2d_clips = h2d_mbps * 1e6 / clip_bytes
+        record = {
+            "metric": "clips/sec/chip pretrain fed by the real input path "
+                      "(JPEG files -> native decode -> HostLoader -> H2D)",
+            "value": round(achieved, 2),
+            "unit": "clips/s/chip",
+            "vs_baseline": round(achieved / clips_per_sec, 3),
+            "resident_batch_clips_per_sec": round(clips_per_sec, 2),
+            "host_decode_clips_per_sec_per_core": round(decode_clips, 2),
+            "host_cores": ncores,
+            "cores_to_saturate_chip": round(need, 1),
+            "h2d_MBps": round(h2d_mbps, 1),
+            "h2d_sustainable_clips_per_sec": round(h2d_clips, 1),
+            "note": "this rig: 1 host core and H2D over the axon tunnel; "
+                    "a real v5e host (112 cores, PCIe ~20GB/s) is not "
+                    "pipeline-bound at these per-core/per-byte rates",
+        }
+        log(f"input-pipeline-fed: {achieved:.1f} clips/s "
+            f"({achieved / clips_per_sec:.1%} of resident-batch); "
+            f"~{need:.0f} cores would saturate the chip; tunnel H2D caps at "
+            f"{h2d_clips:.0f} clips/s")
+        with open("BENCH_PIPELINE.json", "w") as f:
+            json.dump(record, f, indent=1)
+        print(json.dumps(record))
+        return
 
     print(json.dumps({
         "metric": "clips/sec/chip pretrain (R3D-18 SimCLR, 16x112^2, bf16, "
