@@ -180,18 +180,27 @@ def resize(clip: Array, out_h: int, out_w: int, method: str = "bicubic") -> Arra
     return jax.image.resize(clip, (T, out_h, out_w, C), method=method)
 
 
-def gaussian_blur(clip: Array, sigma: Array, taps: int = 13) -> Array:
+def gaussian_blur(clip: Array, sigma: Array, taps: int = 13,
+                  on: Array | bool = True) -> Array:
     """Separable Gaussian blur with traced sigma (shape-static taps).
 
     Capability parity with augmentation.py:706-721 (one sigma per clip,
     sigma ~ U[0.1, 2]); kernel is a true Gaussian rather than PIL's
     box-blur approximation.
+
+    ``on``: traced random-apply gate. When False the kernel collapses to a
+    center delta tap, making the conv an exact identity — one conv pass
+    instead of computing the blur unconditionally and selecting between two
+    materialized clip-sized arrays.
     """
     T, H, W, C = clip.shape
     r = taps // 2
     x = jnp.arange(-r, r + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-6)) ** 2)
     k = k / jnp.sum(k)
+    if not (isinstance(on, bool) and on):
+        delta = (x == 0).astype(jnp.float32)
+        k = jnp.where(on, k, delta)
     # horizontal then vertical, depthwise over channels; frames ride batch
     # dim. Edge-replicate padding like PIL (zero padding would darken borders).
     kh = jnp.broadcast_to(k.reshape(1, taps, 1, 1), (1, taps, 1, C))
@@ -399,12 +408,25 @@ def color_jitter(
     p: float = 0.8,
     mode: str = "consistent",
     block: int = 1,
+    order: Array | None = None,
+    gate: Array | bool = True,
 ) -> Array:
     """Reference ColorJitter (augmentation.py:429-652): with probability ``p``
     apply the four adjustments with random factors in a random order;
     otherwise identity. Branchless: the no-apply case uses identity factors.
     ``block`` > 1 draws independent factors/order/apply per spatial grid cell
     (the blockwise variant, augmentation.py:596-618).
+
+    ``gate``: extra random-apply gate ANDed with the internal ``p`` draw
+    (the reference wraps ColorJitter in an outer RandomApply,
+    pretrain.py:503-505); folding it into the factors here avoids
+    materializing both the jittered and the pass-through clip.
+
+    ``order``: optional externally drawn (4,) op-order permutation. Under
+    ``vmap`` a per-sample order makes every ``lax.switch`` lower to
+    select-over-all-branches (4 slots x 4 materialized ops, hue 4x); one
+    order per *batch* draw keeps the switch scalar so exactly one branch
+    executes per slot. The factors/apply draws stay per sample.
     """
     if block > 1:
         return _blockwise(
@@ -416,13 +438,14 @@ def color_jitter(
     T = clip.shape[0]
     f = sample_jitter_factors(k_factors, T, brightness, contrast, saturation,
                               hue, mode)
-    apply = jax.random.uniform(k_apply) < p
+    apply = gate & (jax.random.uniform(k_apply) < p)
     ident = dict(brightness=1.0, contrast=1.0, saturation=1.0, hue=0.0)
     factors = {
         name: jnp.where(apply, f[name], ident[name]).reshape(T, 1, 1, 1)
         for name in f
     }
-    order = jax.random.permutation(k_order, 4)
+    if order is None:
+        order = jax.random.permutation(k_order, 4)
 
     ops = [
         lambda c: adjust_brightness(c, factors["brightness"]),

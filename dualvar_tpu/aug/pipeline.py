@@ -39,6 +39,11 @@ class AugConfig:
     rand_flip: bool = False  # classifier spatial flip (classifier.py:1016)
     normalize: bool = True
     out_dtype: str = "float32"  # 'bfloat16' halves the aug->model HBM traffic
+    # 'batch': one jitter op-order draw per (step, view), shared across the
+    # batch — under vmap a per-sample order forces all 4x4 switch branches to
+    # materialize (measured ~3x aug cost). 'sample': reference-exact
+    # per-clip order (augmentation.py:510 random.shuffle per clip).
+    jitter_order: str = "batch"
 
     @property
     def jitter_mode(self) -> str:
@@ -55,32 +60,40 @@ def _finish(clip: Array, cfg: AugConfig) -> Array:
     return clip
 
 
-def _augmented_clip(key: Array, clip: Array, cfg: AugConfig, use_aug) -> Array:
+def _augmented_clip(key: Array, clip_u8: Array, cfg: AugConfig, use_aug,
+                    order: Array | None = None) -> Array:
     """crop -> [jitter p=.8 outer] -> [blur p=.5]; `use_aug` gates the two
-    random applies (the null pipeline is crop-only, pretrain.py:493-497)."""
+    random applies (the null pipeline is crop-only, pretrain.py:493-497).
+
+    The crop slices the uint8 frames before float conversion (the full
+    171x128 field never materializes in f32), and both random applies are
+    folded into the ops themselves (identity factors / delta blur kernel)
+    instead of computing both branches and selecting.
+    """
     k_crop, k_jit_on, k_jit, k_blur_on, k_sig = jax.random.split(key, 5)
-    clip = F.random_crop(k_crop, clip, cfg.img_dim)
+    clip = F.to_float(F.random_crop(k_crop, clip_u8, cfg.img_dim))
     jit_on = use_aug & (jax.random.uniform(k_jit_on) < 0.8)
-    jittered = F.color_jitter(k_jit, clip, 0.8, 0.8, 0.8, 0.2, p=0.8,
-                              mode=cfg.jitter_mode)
-    clip = jnp.where(jit_on, jittered, clip)
+    clip = F.color_jitter(k_jit, clip, 0.8, 0.8, 0.8, 0.2, p=0.8,
+                          mode=cfg.jitter_mode, order=order, gate=jit_on)
     blur_on = use_aug & (jax.random.uniform(k_blur_on) < 0.5)
     sigma = jax.random.uniform(k_sig, minval=0.1, maxval=2.0)
-    clip = jnp.where(blur_on, F.gaussian_blur(clip, sigma), clip)
+    clip = F.gaussian_blur(clip, sigma, on=blur_on)
     return clip
 
 
-def pretrain_sample(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
+def pretrain_sample(key: Array, frames_u8: Array, cfg: AugConfig,
+                    orders: Array | None = None) -> Array:
     """One pretrain sample: (n_views*T, H0, W0, C) uint8 ->
     (n_views, T, img_dim, img_dim, C) float, normalised.
 
     Views are the stage-prototype dataset's [clip1, clip2, clip1-again]
     (dataset/local_dataset.py:291-292); each view gets an independent
     pipeline draw (MultiRandomizedTransform, augmentation.py:795-810).
+    ``orders``: optional (n_views, 4) batch-shared jitter op orders.
     """
     T = cfg.seq_len
     n_views = frames_u8.shape[0] // T
-    clips = F.to_float(frames_u8).reshape(n_views, T, *frames_u8.shape[1:])
+    clips = frames_u8.reshape(n_views, T, *frames_u8.shape[1:])
     keys = jax.random.split(key, n_views + 1)
     out = []
     for v in range(n_views):
@@ -89,44 +102,47 @@ def pretrain_sample(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
             jax.random.uniform(keys[n_views]) < 0.8 if v == 0
             else jnp.bool_(True)
         )
-        out.append(_finish(_augmented_clip(keys[v], clips[v], cfg, use_aug), cfg))
+        order = None if orders is None else orders[v]
+        out.append(_finish(
+            _augmented_clip(keys[v], clips[v], cfg, use_aug, order), cfg))
     return jnp.stack(out)
 
 
-def classifier_train_sample(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
+def classifier_train_sample(key: Array, frames_u8: Array, cfg: AugConfig,
+                            order: Array | None = None) -> Array:
     """Finetune/linear-probe train pipeline (classifier.py:1007-1020):
     crop -> [whole-clip flip] -> [consistent jitter p=.8]."""
-    clip = F.to_float(frames_u8)
     k_crop, k_flip, k_jit = jax.random.split(key, 3)
-    clip = F.random_crop(k_crop, clip, cfg.img_dim)
+    clip = F.to_float(F.random_crop(k_crop, frames_u8, cfg.img_dim))
     if cfg.rand_flip:
         clip = F.random_hflip(k_flip, clip, 0.5)
     if cfg.with_color_jitter:
         clip = F.color_jitter(k_jit, clip, 0.8, 0.8, 0.8, 0.2, p=0.8,
-                              mode="consistent")
+                              mode="consistent", order=order)
     return _finish(clip, cfg)
 
 
 def eval_sample(frames_u8: Array, cfg: AugConfig) -> Array:
     """val/test pipeline (classifier.py:1022-1029): center crop only."""
-    return _finish(F.center_crop(F.to_float(frames_u8), cfg.img_dim), cfg)
+    return _finish(F.to_float(F.center_crop(frames_u8, cfg.img_dim)), cfg)
 
 
 def tencrop_sample(frames_u8: Array, cfg: AugConfig, where: int, flip: bool) -> Array:
     """Multi-crop test pipeline (classifier.py:589-600): optional flip then
     one of the five crops."""
-    clip = F.to_float(frames_u8)
+    clip = frames_u8
     if flip:
         clip = F.hflip(clip)
-    return _finish(F.five_crop(clip, cfg.img_dim, where), cfg)
+    return _finish(F.to_float(F.five_crop(clip, cfg.img_dim, where)), cfg)
 
 
 def tenclip_sample(frames_u8: Array, cfg: AugConfig) -> Array:
     """Temporal-10-clip pipeline (classifier.py:683-695): per-clip center
     crop. frames: (10*T, H0, W0, C) -> (10, T, dim, dim, C)."""
     T = cfg.seq_len
-    clips = F.to_float(frames_u8).reshape(10, T, *frames_u8.shape[1:])
-    return jax.vmap(lambda c: _finish(F.center_crop(c, cfg.img_dim), cfg))(clips)
+    clips = frames_u8.reshape(10, T, *frames_u8.shape[1:])
+    return jax.vmap(
+        lambda c: _finish(F.to_float(F.center_crop(c, cfg.img_dim)), cfg))(clips)
 
 
 # generic multi-clip composers (reference augmentation.py:733-894) ---------
@@ -195,14 +211,26 @@ def two_crops_transform(key: Array, clip: Array, base_fn) -> Array:
 @partial(jax.jit, static_argnames=("cfg",))
 def pretrain_batch(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
     """(B, n_views*T, H0, W0, C) uint8 -> (B, n_views, T, d, d, C)."""
-    keys = jax.random.split(key, frames_u8.shape[0])
-    return jax.vmap(lambda k, f: pretrain_sample(k, f, cfg))(keys, frames_u8)
+    n_views = frames_u8.shape[1] // cfg.seq_len
+    k_batch, k_order = jax.random.split(key)
+    orders = None
+    if cfg.jitter_order == "batch":
+        orders = jnp.stack([
+            jax.random.permutation(jax.random.fold_in(k_order, v), 4)
+            for v in range(n_views)])
+    keys = jax.random.split(k_batch, frames_u8.shape[0])
+    return jax.vmap(
+        lambda k, f: pretrain_sample(k, f, cfg, orders))(keys, frames_u8)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def classifier_train_batch(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
-    keys = jax.random.split(key, frames_u8.shape[0])
-    return jax.vmap(lambda k, f: classifier_train_sample(k, f, cfg))(keys, frames_u8)
+    k_batch, k_order = jax.random.split(key)
+    order = (jax.random.permutation(k_order, 4)
+             if cfg.jitter_order == "batch" else None)
+    keys = jax.random.split(k_batch, frames_u8.shape[0])
+    return jax.vmap(
+        lambda k, f: classifier_train_sample(k, f, cfg, order))(keys, frames_u8)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
