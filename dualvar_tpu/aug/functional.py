@@ -94,28 +94,22 @@ def rgb_to_hsv(clip: Array) -> Array:
 
 
 def hsv_to_rgb(clip: Array) -> Array:
-    """Vectorized HSV->RGB (reference augmentation.py:67-88)."""
+    """Vectorized HSV->RGB (reference augmentation.py:67-88).
+
+    Branchless sector formula, mathematically identical to the 6-sector
+    select chain (piecewise v/q/p/t per sector) but without materializing
+    6 conditions x 3 channels of clip-sized intermediates:
+    channel(n) = v - v*s*clip(min(k, 4-k), 0, 1), k = (n + 6h) mod 6.
+    """
     h, s, v = clip[..., 0], clip[..., 1], clip[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    i = i.astype(jnp.int32) % 6
-    p = jnp.clip(v * (1.0 - s), 0.0, 1.0)
-    q = jnp.clip(v * (1.0 - s * f), 0.0, 1.0)
-    t = jnp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
-    idx = i[..., None]
-    r = jnp.select(
-        [idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
-        [v[..., None], q[..., None], p[..., None], p[..., None], t[..., None], v[..., None]],
-    )
-    g = jnp.select(
-        [idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
-        [t[..., None], v[..., None], v[..., None], q[..., None], p[..., None], p[..., None]],
-    )
-    b = jnp.select(
-        [idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
-        [p[..., None], p[..., None], t[..., None], v[..., None], v[..., None], q[..., None]],
-    )
-    return jnp.concatenate([r, g, b], axis=-1)
+    h6 = h * 6.0
+    vs = v * s
+
+    def chan(n):
+        k = jnp.mod(n + h6, 6.0)
+        return v - vs * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 def adjust_hue(clip: Array, factor: Array) -> Array:

@@ -32,6 +32,8 @@ def worker(pid: int):
     )
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{PORT}",
         num_processes=N_PROC,
@@ -110,6 +112,39 @@ def worker(pid: int):
     assert len(set(shard_sums.flatten().tolist())) == N_PROC, shard_sums
     print(f"[proc {pid}] ok: total_loss {losses['total_loss']:.4f}, "
           f"shard sums {shard_sums.flatten().tolist()}", flush=True)
+
+    # -- phase 2: multi-host eval protocol (k-NN retrieval) -------------
+    # test_retrieval shards its loaders by process and gathers features
+    # with process_allgather + vid dedupe (classifier.py _gather_concat /
+    # _dedupe_by_vid) — the TPU-native replacement for the reference's
+    # DistributedSampler eval sharding (classifier.py:159-236). Each
+    # process sees half the videos; the gathered result must equal the
+    # single-process answer (synthetic features: every video retrieves
+    # itself, R@1 == 1.0) and agree across processes.
+    import dataclasses as _dc
+    import tempfile
+
+    from dualvar_tpu.core.config import CLASSIFIER_PRESETS, ModelConfig
+    from dualvar_tpu.train.classifier import test_retrieval
+
+    cfg2 = CLASSIFIER_PRESETS["smoke"]
+    cfg2 = _dc.replace(
+        cfg2,
+        num_class=2,
+        data=_dc.replace(cfg2.data, seq_len=SEQ, img_dim=IMG,
+                         scale_hw=(H0, W0), synthetic_videos=8,
+                         synthetic_classes=2, workers=2),
+        model=ModelConfig(net="r3d", dtype="float32"),
+        optim=_dc.replace(cfg2.optim, batch_size=4, epochs=1),
+        run=_dc.replace(cfg2.run,
+                        log_root=tempfile.mkdtemp(prefix=f"mh_eval_p{pid}_")),
+    )
+    ret = test_retrieval(cfg2)
+    assert ret["R@1"] == 1.0, ret
+    agree_r = multihost_utils.process_allgather(
+        np.asarray([ret["R@1"], ret["R@5"], ret["R@50"]], np.float64))
+    assert np.allclose(agree_r, agree_r[0]), agree_r
+    print(f"[proc {pid}] retrieval ok: {ret}", flush=True)
 
 
 def main():
