@@ -49,7 +49,9 @@ class R3DNet(nn.Module):
     """Reference backbone/r3d.py:126-157 (R3DNet)."""
 
     layer_sizes: Sequence[int] = (1, 1, 1, 1)
-    s2d_stem: bool = False  # space-to-depth stem (numerically identical)
+    s2d_stem: bool = True  # space-to-depth stem (numerically identical,
+    # ~2% step win on v5e: the C=3 stem wastes 125/128 MXU lanes; s2d feeds
+    # 12 channels at quarter spatial positions. Falls back for odd H/W.)
     dtype: Any = jnp.float32
 
     @nn.compact

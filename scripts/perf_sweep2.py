@@ -41,6 +41,8 @@ def main():
         B = 256
     if VARIANT == "b64":
         B = 64
+    if VARIANT == "b256bf16":
+        B = 256
     dtype = jnp.bfloat16
     param_dtype = jnp.bfloat16 if VARIANT == "bf16p" else jnp.float32
 
@@ -57,7 +59,8 @@ def main():
 
     model = S.SimCLRNaked(network="r3d", dim=128, temperature=0.07,
                           dtype=dtype)
-    aug_cfg = AugConfig(img_dim=img, seq_len=T)
+    aug_cfg = AugConfig(img_dim=img, seq_len=T,
+                        out_dtype="bfloat16" if VARIANT == "b256bf16" else "float32")
     rng = jax.random.PRNGKey(0)
     example = jnp.zeros((B, 2, T, img, img, 3), jnp.float32)
     variables = model.init({"params": rng}, example, train=True)
