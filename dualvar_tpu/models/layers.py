@@ -114,6 +114,70 @@ class Conv3d(nn.Module):
         return y
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train_fused(x: Array, scale: Array, bias: Array, eps: float):
+    """Train-mode BN core with a hand-written VJP -> (y, mu, var).
+
+    Forward: one-pass sum/sumsq stats (f32 accumulation directly off the
+    bf16 map) and a two-coefficient normalize ``x*a + b``. mu/var are
+    returned for the running-average update.
+
+    Why custom_vjp: autodiff through the sum(x^2) stats path emits extra
+    full-map product terms (d(sum x^2) -> 2x*g) that XLA materializes as
+    separate HBM passes (profiled: the layer1 BN-backward fusion ran
+    HBM-bound at ~280 GiB/s for ~24.6 ms/step). The canonical BN backward
+    is two channel-sums plus one affine map ``dx = A*g + C*x + B`` — a
+    form XLA fuses into the adjacent conv dgrad/wgrad passes.
+    """
+    y, mu, var, _ = _bn_train_fwd_impl(x, scale, bias, eps)
+    return y, mu, var
+
+
+def _bn_train_fwd_impl(x, scale, bias, eps):
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for d in axes:
+        n *= x.shape[d]
+    s1 = jnp.sum(x, axis=axes, dtype=jnp.float32)
+    s2 = jnp.sum(jax.lax.square(x.astype(jnp.float32)), axis=axes)
+    mu = s1 / n
+    var = jnp.maximum(s2 / n - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    sc = scale.astype(jnp.float32)
+    a = (inv * sc).astype(x.dtype)
+    b = (bias.astype(jnp.float32) - mu * inv * sc).astype(x.dtype)
+    return x * a + b, mu, var, inv
+
+
+def _bn_train_vjp_fwd(x, scale, bias, eps):
+    y, mu, var, inv = _bn_train_fwd_impl(x, scale, bias, eps)
+    return (y, mu, var), (x, scale, mu, inv)
+
+
+def _bn_train_vjp_bwd(eps, res, cotangents):
+    g, gmu, gvar = cotangents  # gmu/gvar are zero under the EMA stop_gradient
+    x, scale, mu, inv = res
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for d in axes:
+        n *= x.shape[d]
+    # channel sums off the bf16 maps, f32 accumulation, one fused pass
+    s_g = jnp.sum(g, axis=axes, dtype=jnp.float32)
+    s_gx = jnp.sum((g * x), axis=axes, dtype=jnp.float32)
+    s_gc = s_gx - mu * s_g  # sum g*(x-mu)
+    sc = scale.astype(jnp.float32)
+    dscale = (s_gc * inv).astype(scale.dtype)
+    dbias = s_g.astype(scale.dtype)
+    A = inv * sc
+    C = -A * inv * inv * s_gc / n + 2.0 * gvar / n
+    B = -A * s_g / n - C * mu + gmu / n
+    dx = g * A.astype(g.dtype) + x * C.astype(x.dtype) + B.astype(x.dtype)
+    return dx, dscale, dbias
+
+
+_bn_train_fused.defvjp(_bn_train_vjp_fwd, _bn_train_vjp_bwd)
+
+
 class _FastBN(nn.Module):
     """One-pass BatchNorm core tuned for TPU memory bandwidth.
 
@@ -145,27 +209,21 @@ class _FastBN(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
 
-        axes = tuple(range(x.ndim - 1))
         if use_running_average:
             mu, var = ra_mean.value, ra_var.value
-        else:
-            n = 1
-            for d in axes:
-                n *= x.shape[d]
-            s1 = jnp.sum(x, axis=axes, dtype=jnp.float32)
-            s2 = jnp.sum(jax.lax.square(x.astype(jnp.float32)), axis=axes)
-            mu = s1 / n
-            var = jnp.maximum(s2 / n - mu * mu, 0.0)
-            if not self.is_initializing() and self.is_mutable_collection(
-                    "batch_stats"):
-                m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * jax.lax.stop_gradient(mu)
-                ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(var)
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+            a = inv.astype(self.dtype)
+            b = (bias.astype(jnp.float32) - mu * inv).astype(self.dtype)
+            return x.astype(self.dtype) * a + b
 
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
-        a = inv.astype(self.dtype)
-        b = (bias.astype(jnp.float32) - mu * inv).astype(self.dtype)
-        return x.astype(self.dtype) * a + b
+        y, mu, var = _bn_train_fused(
+            x.astype(self.dtype), scale, bias, self.epsilon)
+        if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"):
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * jax.lax.stop_gradient(mu)
+            ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(var)
+        return y
 
 
 class BatchNorm(nn.Module):
