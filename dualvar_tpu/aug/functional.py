@@ -195,17 +195,24 @@ def gaussian_blur(clip: Array, sigma: Array, taps: int = 13,
     if not (isinstance(on, bool) and on):
         delta = (x == 0).astype(jnp.float32)
         k = jnp.where(on, k, delta)
-    # horizontal then vertical, depthwise over channels; frames ride batch
-    # dim. Edge-replicate padding like PIL (zero padding would darken borders).
-    kh = jnp.broadcast_to(k.reshape(1, taps, 1, 1), (1, taps, 1, C))
-    kv = jnp.broadcast_to(k.reshape(taps, 1, 1, 1), (taps, 1, 1, C))
+
+    # Separable blur as two banded-matrix matmuls on the MXU: a depthwise
+    # conv with C=3 channels wastes 125/128 lanes, while B[u, v] = k[u - v]
+    # over the edge-padded axis is a dense (dim+2r, dim) contraction XLA
+    # tiles at full rate. Edge-replicate padding like PIL (zero padding
+    # would darken borders).
+    def band(n):
+        iu = jax.lax.broadcasted_iota(jnp.int32, (n + 2 * r, n), 0)
+        iv = jax.lax.broadcasted_iota(jnp.int32, (n + 2 * r, n), 1)
+        d = iu - iv  # in [0, 2r] inside the band
+        return jnp.where((d >= 0) & (d <= 2 * r), k[jnp.clip(d, 0, 2 * r)],
+                         0.0).astype(clip.dtype)
+
     out = jnp.pad(clip, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        out, kh, (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
-    out = jax.lax.conv_general_dilated(
-        out, kv, (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+    # rows: (T, H+2r, W+2r, C) x (W+2r, W) over the W axis
+    out = jnp.einsum("thuc,uw->thwc", out, band(W))
+    # cols: contract the H+2r axis
+    out = jnp.einsum("tuwc,uh->thwc", out, band(H))
     return out
 
 
