@@ -98,6 +98,19 @@ class Conv3d(nn.Module):
         kernel = self.param("kernel", kinit, kshape, self.param_dtype)
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
+        # stem-shaped convs (kt,7,7)/s(1,2,2)/p(.,3,3) on <=8 input channels
+        # route through the space-to-depth rewrite (see stem_conv_s2d): the
+        # narrow-channel stem wastes MXU lanes; identical math, same params
+        if ((ks[1], ks[2]) == (7, 7) and st == (1, 2, 2)
+                and pd == (ks[0] // 2, 3, 3) and in_ch <= 8
+                and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
+            y = stem_conv_s2d(x, kernel)
+            if self.use_bias:
+                bias = self.param(
+                    "bias", torch_conv_bias_init(ks[0] * ks[1] * ks[2] * in_ch),
+                    (self.features,), self.param_dtype)
+                y = y + bias.astype(self.dtype)
+            return y
         s2_ok = any(s == 2 for s in st) and all(
             s == 1 or (k == 3 and p == 1 and x.shape[1 + i] % 2 == 0)
             for i, (s, k, p) in enumerate(zip(st, ks, pd)))
