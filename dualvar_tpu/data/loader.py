@@ -60,11 +60,22 @@ class JpegFrameSource:
             if native.available():
                 self._native = native
 
-    def __call__(self, vname: str, frame_indices: np.ndarray) -> np.ndarray:
-        paths = [
+    def paths(self, vname: str, frame_indices: np.ndarray) -> list[str]:
+        return [
             os.path.join(self.db_path, vname, f"image_{int(i) + 1:05d}.jpg")
             for i in frame_indices
         ]
+
+    @property
+    def native_batch(self):
+        """(native_module, (H, W)) when the batch-assembler fast path is
+        usable, else None."""
+        if self._native is None:
+            return None
+        return self._native, tuple(self.scale)
+
+    def __call__(self, vname: str, frame_indices: np.ndarray) -> np.ndarray:
+        paths = self.paths(vname, frame_indices)
         if self._native is not None:
             return self._native.decode_jpeg_files(
                 paths, self.scale, n_threads=self.native_threads
@@ -195,13 +206,19 @@ class PretrainDataset:
         out = np.concatenate([idx1, idx2])
         return np.concatenate([out, idx1]) if self.aug_series else out
 
-    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+    def plan(self, index: int, rng: np.random.Generator):
+        """(vname, frame_indices, aux) with the decode deferred — the
+        HostLoader batch-assembler fast path decodes a whole batch's plans
+        in one native call."""
         e = self.entries[index]
         idx = self._indices(rng, e.vlen)
-        return {
-            "frames": self.source(e.vname, idx),
+        return e.vname, idx, {
             "label": np.int32(self.class_index.encode(e.vlabel)),
         }
+
+    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        vname, idx, aux = self.plan(index, rng)
+        return {"frames": self.source(vname, idx), **aux}
 
 
 @dataclass
@@ -238,7 +255,7 @@ class ClassifierDataset:
         return len(self._records) if self._records is not None \
             else len(self.entries)
 
-    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+    def plan(self, index: int, rng: np.random.Generator):
         if self._records is not None:
             ei, w = self._records[index]
             e = self.entries[ei]
@@ -247,11 +264,14 @@ class ClassifierDataset:
             ei = index
             e = self.entries[ei]
             idx = samplers.frame_sampler_train(rng, e.vlen, self.num_frames, self.ds)
-        return {
-            "frames": self.source(e.vname, idx),
+        return e.vname, idx, {
             "label": np.int32(self.class_index.encode(e.vlabel)),
             "vid": np.int32(ei),
         }
+
+    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        vname, idx, aux = self.plan(index, rng)
+        return {"frames": self.source(vname, idx), **aux}
 
 
 @dataclass
@@ -268,14 +288,17 @@ class TenClipDataset:
     def __len__(self):
         return len(self.entries)
 
-    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+    def plan(self, index: int, rng: np.random.Generator):
         e = self.entries[index]
         idx = samplers.tenclip_sampler(e.vlen, self.num_frames, self.ds)
-        return {
-            "frames": self.source(e.vname, idx),
+        return e.vname, idx, {
             "label": np.int32(self.class_index.encode(e.vlabel)),
             "vid": np.int32(index),
         }
+
+    def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        vname, idx, aux = self.plan(index, rng)
+        return {"frames": self.source(vname, idx), **aux}
 
 
 # --------------------------------------------------------------------------
@@ -323,6 +346,44 @@ class HostLoader:
         )
         return self.dataset(int(index), rng)
 
+    def _rng(self, epoch: int, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, int(index)])
+        )
+
+    def _native_batch_ctx(self):
+        """(native_module, (H, W)) when the whole-batch native assembler
+        applies: dataset exposes plan() and its source is a fixed-size
+        native-decoding JpegFrameSource."""
+        src = getattr(self.dataset, "source", None)
+        if (hasattr(self.dataset, "plan")
+                and getattr(src, "native_batch", None) is not None):
+            return src.native_batch
+        return None
+
+    def _assemble(self, epoch: int, indices) -> dict[str, np.ndarray]:
+        """Batch-assembler fast path: sample every plan, then decode all
+        B*F frames straight into the batch buffer with one native call
+        (the C++ pool balances across frames; no per-sample collate copy).
+        Bitwise-identical to the per-sample path — same per-index rng
+        stream, same decoder (tests/test_real_data_path.py)."""
+        nb = self._native_batch_ctx()
+        src = self.dataset.source
+        plans = [self.dataset.plan(int(i), self._rng(epoch, int(i)))
+                 for i in indices]
+        native_mod, (H, W) = nb
+        F = len(plans[0][1])
+        out = np.empty((len(plans), F, H, W, 3), np.uint8)
+        paths = [p for vname, idx, _ in plans for p in src.paths(vname, idx)]
+        ok = native_mod.decode_jpeg_files_into(
+            paths, out.reshape(len(plans) * F, H, W, 3),
+            n_threads=self.pool._max_workers)
+        assert ok
+        batch = {"frames": out}
+        for k in plans[0][2]:
+            batch[k] = np.stack([aux[k] for _, _, aux in plans])
+        return batch
+
     def epoch(self, epoch: int = 0) -> Iterator[dict[str, np.ndarray]]:
         order = shard_for_process(
             len(self.dataset),
@@ -338,8 +399,11 @@ class HostLoader:
         ]
         pending = []
         bi = 0
+        use_native_batch = self._native_batch_ctx() is not None
 
         def submit(b):
+            if use_native_batch:
+                return self.pool.submit(self._assemble, epoch, batches[b])
             return [self.pool.submit(self._sample, epoch, i) for i in batches[b]]
 
         while bi < min(self.prefetch, nb):
@@ -350,6 +414,9 @@ class HostLoader:
             if bi < nb:
                 pending.append(submit(bi))
                 bi += 1
+            if use_native_batch:
+                yield futs.result()
+                continue
             samples = [f.result() for f in futs]
             yield {
                 k: np.stack([s[k] for s in samples]) for k in samples[0]

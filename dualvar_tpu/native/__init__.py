@@ -95,6 +95,28 @@ def decode_jpeg_files(
     return out
 
 
+def decode_jpeg_files_into(
+    paths: list[str], out: np.ndarray, n_threads: int = 8
+) -> bool:
+    """Decode+resize JPEG files directly into a caller-provided
+    (n, H, W, 3) C-contiguous uint8 buffer — the batch-assembler path: one
+    native call per *batch*, the C++ thread pool load-balances across every
+    frame of every sample, and the collate copy disappears. Returns False
+    when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return False
+    n, H, W, C = out.shape
+    assert C == 3 and len(paths) == n and out.dtype == np.uint8
+    assert out.flags["C_CONTIGUOUS"]
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    L.dv_decode_files(
+        arr, n, H, W, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+    )
+    return True
+
+
 def resize_bicubic(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray | None:
     """(H, W, 3) uint8 -> (out_h, out_w, 3) uint8 via the native resampler."""
     L = lib()

@@ -77,3 +77,29 @@ def test_pretrain_step_on_real_files(frame_db):
     ret, _ = model.apply(variables, block[:, :2], train=True,
                          mutable=["batch_stats"])
     assert np.isfinite(float(ret["clip_contrast_loss"]))
+
+
+def test_native_batch_assembler_matches_per_sample(frame_db):
+    """HostLoader's whole-batch native assembler (one decode call per
+    batch straight into the batch buffer) must produce bitwise-identical
+    batches to the per-sample path."""
+    from dualvar_tpu import native
+    from dualvar_tpu.data.loader import ClassifierDataset
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    root, db = frame_db
+    entries = load_split(root, "train", val_size=2)
+    ci = load_class_index(root)
+    ds = ClassifierDataset(
+        entries=entries, class_index=ci,
+        source=JpegFrameSource(db, scale=(48, 40)),
+        num_frames=4, ds=2)
+    fast = HostLoader(ds, 3, shuffle=True, seed=7, num_workers=2)
+    assert fast._native_batch_ctx() is not None
+    slow = HostLoader(ds, 3, shuffle=True, seed=7, num_workers=2)
+    slow._native_batch_ctx = lambda: None  # force the per-sample path
+    for bf, bs in zip(fast.epoch(3), slow.epoch(3)):
+        assert set(bf) == set(bs)
+        for k in bf:
+            np.testing.assert_array_equal(bf[k], bs[k])
