@@ -45,12 +45,27 @@ def init_distributed() -> None:
     uninitialized backend, so the launch-environment check reads env vars
     only. Already-initialized (an outer launcher called initialize, or a
     second driver invocation in-process) is tolerated."""
-    if not any(os.environ.get(k) for k in _CLUSTER_ENV_VARS):
+    def _plausible(v: str) -> bool:
+        # tooling sometimes exports sentinel/warning strings (e.g. a TPU
+        # relay sets TPU_WORKER_HOSTNAMES to "WARNING: could not
+        # determine..."); a real hostname list has no whitespace
+        return bool(v) and not any(c.isspace() for c in v)
+
+    if not any(_plausible(os.environ.get(k, "")) for k in _CLUSTER_ENV_VARS):
         return
     try:
         jax.distributed.initialize()
     except RuntimeError:
         pass  # backend already initialized by an earlier call/launcher
+    except ValueError as e:
+        # auto-detection misfired (env var set but no coordinator could be
+        # derived) — proceed single-host, loudly
+        import warnings
+
+        warnings.warn(
+            f"jax.distributed.initialize() failed ({e}); continuing "
+            "single-host. Set JAX_COORDINATOR_ADDRESS explicitly for "
+            "multi-host runs.")
 
 
 def data_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
