@@ -48,14 +48,6 @@ def main(steps: int = 60, model: str = "simclr_naked"):
     print("learning check PASSED")
 
 
-if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[2] == "classifier":
-        classifier_check(int(sys.argv[1]))
-    else:
-        main(int(sys.argv[1]) if len(sys.argv) > 1 else 300,
-             sys.argv[2] if len(sys.argv) > 2 else "simclr_naked")
-
-
 def classifier_check(steps: int = 360):
     """Supervised path: classifier on synthetic class-structured videos must
     reach high val accuracy (verified 1.0 on TPU in 360 steps)."""
@@ -79,3 +71,11 @@ def classifier_check(steps: int = 360):
     print(f"classifier after {steps} steps: val_top1 {final.get('val_top1')}")
     assert final.get("val_top1", 0) > 0.6, "classifier did not learn"
     print("classifier learning check PASSED")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[2] == "classifier":
+        classifier_check(int(sys.argv[1]))
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 300,
+             sys.argv[2] if len(sys.argv) > 2 else "simclr_naked")
