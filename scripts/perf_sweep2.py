@@ -43,6 +43,10 @@ def main():
         B = 64
     if VARIANT == "b256bf16":
         B = 256
+    if VARIANT == "b192":
+        B = 192
+    if VARIANT == "b160":
+        B = 160
     dtype = jnp.bfloat16
     param_dtype = jnp.bfloat16 if VARIANT == "bf16p" else jnp.float32
 

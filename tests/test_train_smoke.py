@@ -205,3 +205,34 @@ def test_moco_shuffle_bn_parity_mode():
             assert abs(m4[k] - m0[k]) < 0.2 * (abs(m0[k]) + 1e-2), (
                 k, m0[k], m4[k])
     assert np.abs(q4 - q0).mean() < 0.05
+
+
+def test_sharded_equals_single_device_dualvar_losses():
+    """The FULL DualVar objective (clip NT-Xent + TC + both SR margin
+    losses, incl. global-batch BN statistics) computed over the 8-device
+    mesh must match the single-device result — the SPMD replacement for
+    GatherLayer + SyncBN + the rank-local TC rows (SURVEY §2.3)."""
+    from dualvar_tpu.models.ssl.simclr import SimCLRTimeSeriesV4
+    from dualvar_tpu.train.tasks import total_loss
+
+    model = SimCLRTimeSeriesV4(network="r3d", dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    block = jax.random.uniform(rng, (8, 3, SEQ, IMG, IMG, 3), jnp.float32)
+    variables = model.init({"params": rng, "shuffle": rng}, block, train=True)
+
+    def losses(v, b):
+        ret, _ = model.apply(v, b, train=True, rngs={"shuffle": jax.random.PRNGKey(7)},
+                             mutable=["batch_stats"])
+        out = {k: x for k, x in ret.items() if k.endswith("loss")}
+        out["total_loss"] = total_loss(ret)
+        return out
+
+    single = jax.jit(losses)(variables, block)
+
+    mesh = make_mesh()
+    bs = jax.device_put(block, batch_sharding(mesh))
+    vs = jax.device_put(variables, replicated(mesh))
+    sharded = jax.jit(losses, out_shardings=replicated(mesh))(vs, bs)
+    for k in single:
+        np.testing.assert_allclose(
+            float(single[k]), float(sharded[k]), rtol=2e-5, err_msg=k)
