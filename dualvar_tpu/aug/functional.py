@@ -209,10 +209,14 @@ def gaussian_blur(clip: Array, sigma: Array, taps: int = 13,
                          0.0).astype(clip.dtype)
 
     out = jnp.pad(clip, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+    # HIGHEST precision: at the MXU default the f32 operands truncate to
+    # bf16, which would perturb the exact-identity delta-kernel (blur-off)
+    # path; the band matmuls are tiny so the 6-pass f32 mode is cheap
+    hp = jax.lax.Precision.HIGHEST
     # rows: (T, H+2r, W+2r, C) x (W+2r, W) over the W axis
-    out = jnp.einsum("thuc,uw->thwc", out, band(W))
+    out = jnp.einsum("thuc,uw->thwc", out, band(W), precision=hp)
     # cols: contract the H+2r axis
-    out = jnp.einsum("tuwc,uh->thwc", out, band(H))
+    out = jnp.einsum("tuwc,uh->thwc", out, band(H), precision=hp)
     return out
 
 
@@ -432,7 +436,8 @@ def color_jitter(
     if block > 1:
         return _blockwise(
             lambda k, c: color_jitter(k, c, brightness, contrast, saturation,
-                                      hue, p, mode, block=1),
+                                      hue, p, mode, block=1, order=order,
+                                      gate=gate),
             key, clip, block,
         )
     k_apply, k_factors, k_order = jax.random.split(key, 3)

@@ -55,8 +55,13 @@ def init_distributed() -> None:
         return
     try:
         jax.distributed.initialize()
-    except RuntimeError:
-        pass  # backend already initialized by an earlier call/launcher
+    except RuntimeError as e:
+        # only the already-initialized case is benign; anything else
+        # (coordinator timeouts surface as RuntimeError subclasses) must
+        # not silently degrade a pod launch to single-host
+        if "already" in str(e).lower():
+            return
+        raise
     except ValueError as e:
         # auto-detection misfired (env var set but no coordinator could be
         # derived) — proceed single-host, loudly

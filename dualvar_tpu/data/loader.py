@@ -267,11 +267,21 @@ class ClassifierDataset:
         return e.vname, idx, {
             "label": np.int32(self.class_index.encode(e.vlabel)),
             "vid": np.int32(ei),
+            # record id: in test mode one (video, window) pair — the stable
+            # key multi-host protocols dedupe shard-padding duplicates on
+            "rid": np.int32(index),
         }
 
     def __call__(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
         vname, idx, aux = self.plan(index, rng)
         return {"frames": self.source(vname, idx), **aux}
+
+    def record_vids(self) -> np.ndarray:
+        """vid per record id (test mode: records are (video, window) pairs;
+        train/val: records are videos)."""
+        if self._records is not None:
+            return np.asarray([ei for ei, _ in self._records], np.int64)
+        return np.arange(len(self.entries), dtype=np.int64)
 
 
 @dataclass
@@ -340,16 +350,16 @@ class HostLoader:
                                   self.process_count))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _sample(self, epoch: int, index: int) -> dict[str, np.ndarray]:
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, epoch, int(index)])
-        )
-        return self.dataset(int(index), rng)
-
     def _rng(self, epoch: int, index: int) -> np.random.Generator:
+        """THE per-sample rng stream — single definition: the batch
+        assembler's bitwise equality with the per-sample path depends on
+        both building identical streams."""
         return np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, int(index)])
         )
+
+    def _sample(self, epoch: int, index: int) -> dict[str, np.ndarray]:
+        return self.dataset(int(index), self._rng(epoch, index))
 
     def _native_batch_ctx(self):
         """(native_module, (H, W)) when the whole-batch native assembler
@@ -375,9 +385,13 @@ class HostLoader:
         F = len(plans[0][1])
         out = np.empty((len(plans), F, H, W, 3), np.uint8)
         paths = [p for vname, idx, _ in plans for p in src.paths(vname, idx)]
+        # up to `prefetch` assemblies run concurrently, each spawning its
+        # own native decode threads — split the budget so the host is not
+        # oversubscribed 2x
         ok = native_mod.decode_jpeg_files_into(
             paths, out.reshape(len(plans) * F, H, W, 3),
-            n_threads=self.pool._max_workers)
+            n_threads=max(1, self.pool._max_workers // max(1, min(
+                self.prefetch, 2))))
         assert ok
         batch = {"frames": out}
         for k in plans[0][2]:

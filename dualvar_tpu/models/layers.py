@@ -106,13 +106,15 @@ class Conv3d(nn.Module):
                 and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
             y = stem_conv_s2d(x, kernel)
             if self.use_bias:
+                fan_in = ks[0] * ks[1] * ks[2] * in_ch
                 bias = self.param(
-                    "bias", torch_conv_bias_init(ks[0] * ks[1] * ks[2] * in_ch),
+                    "bias", torch_conv_bias_init(fan_in),
                     (self.features,), self.param_dtype)
                 y = y + bias.astype(self.dtype)
             return y
         s2_ok = any(s == 2 for s in st) and all(
-            s == 1 or (k == 3 and p == 1 and x.shape[1 + i] % 2 == 0)
+            s == 1 or (s == 2 and k == 3 and p == 1
+                       and x.shape[1 + i] % 2 == 0)
             for i, (s, k, p) in enumerate(zip(st, ks, pd)))
         if s2_ok:
             y = conv3d_s2(x, kernel, st, pd)

@@ -452,38 +452,55 @@ def test_multicrop(cfg: ClassifierConfig, protocol: str = "ten") -> dict[str, fl
     n_vids = len(dataset.entries)
     n_class = cfg.num_class
     # nested accumulators: center ⊂ five ⊂ ten (reference reports all three
-    # from one 10-combination pass, classifier.py:629-653). prob sums and
-    # counts are gathered raw across hosts because one video's windows can
-    # span process shards.
+    # from one 10-combination pass, classifier.py:629-653). Accumulation is
+    # per *record* (video, window) and assignment-idempotent: each
+    # (record, where, flip) probability is deterministic, so shard-padding
+    # duplicates — which can land on a different host than the original
+    # (shard_for_process wraps the global list) — overwrite with the same
+    # value instead of double-counting, and the cross-host combine divides
+    # by how many hosts saw each record.
     groups = ["center", "five", "ten"][: {"center": 1, "five": 2, "ten": 3}[protocol]]
-    prob_sum = {g: np.zeros((n_vids, n_class), np.float64) for g in groups}
-    prob_n = {g: np.zeros(n_vids, np.int64) for g in groups}
+    n_rec = len(dataset)
+    rec_vid = dataset.record_vids()
+    prob_rec = {g: np.zeros((n_rec, n_class), np.float64) for g in groups}
+    g_passes = {g: 0 for g in groups}
+    seen = np.zeros(n_rec, bool)
     labels_arr = np.full(n_vids, -1, np.int64)
     for flip in flip_list:
         for where in aug_list:
             in_five = flip == 0
             in_center = in_five and where == 5
             logger.info(f"Aug type: {where}; flip: {flip}")
+            tmp = np.zeros((n_rec, n_class), np.float64)
             for batch in loader.epoch(0):
                 p = np.asarray(step(variables, jnp.asarray(batch["frames"]),
                                     where, flip))
-                vids = np.asarray(batch["vid"])
-                for g, member in (("center", in_center), ("five", in_five),
-                                  ("ten", True)):
-                    if g in prob_sum and member:
-                        np.add.at(prob_sum[g], vids, p)
-                        np.add.at(prob_n[g], vids, 1)
-                labels_arr[vids] = np.asarray(batch["label"])
+                rids = np.asarray(batch["rid"])
+                tmp[rids] = p
+                seen[rids] = True
+                labels_arr[np.asarray(batch["vid"])] = np.asarray(batch["label"])
+            for g, member in (("center", in_center), ("five", in_five),
+                              ("ten", True)):
+                if g in prob_rec and member:
+                    prob_rec[g] += tmp
+                    g_passes[g] += 1
 
     if jax.process_count() > 1:
         gathered = _gather_concat(
-            labels_arr[None],
-            *[prob_sum[g][None] for g in groups],
-            *[prob_n[g][None] for g in groups])
+            labels_arr[None], seen[None].astype(np.int64),
+            *[prob_rec[g][None] for g in groups])
         labels_arr = gathered[0].max(axis=0)
+        seen_counts = gathered[1].sum(axis=0)
         for i, g in enumerate(groups):
-            prob_sum[g] = gathered[1 + i].sum(axis=0)
-            prob_n[g] = gathered[1 + len(groups) + i].sum(axis=0)
+            prob_rec[g] = (gathered[2 + i].sum(axis=0)
+                           / np.maximum(seen_counts, 1)[:, None])
+        seen = seen_counts > 0
+
+    prob_sum = {g: np.zeros((n_vids, n_class), np.float64) for g in groups}
+    prob_n = {g: np.zeros(n_vids, np.int64) for g in groups}
+    for g in groups:
+        np.add.at(prob_sum[g], rec_vid[seen], prob_rec[g][seen])
+        np.add.at(prob_n[g], rec_vid[seen], g_passes[g])
 
     out: dict[str, float] = {}
     for g in groups:
