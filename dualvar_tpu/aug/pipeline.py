@@ -199,6 +199,17 @@ def one_clip_transform(key: Array, frames: Array, base_fn, null_fn,
     return jnp.concatenate([q, k], axis=0)
 
 
+def multiple_clip_transform(key: Array, frames: Array, fns, seq_len: int) -> Array:
+    """Apply fns[i] to clip i of a multi-clip frame list (reference
+    MultipleClipTransform, augmentation.py:761-780)."""
+    n_clips = frames.shape[0] // seq_len
+    assert n_clips == len(fns), (n_clips, len(fns))
+    clips = frames.reshape(n_clips, seq_len, *frames.shape[1:])
+    keys = jax.random.split(key, n_clips)
+    return jnp.concatenate(
+        [fns[i](keys[i], clips[i]) for i in range(n_clips)], axis=0)
+
+
 def two_crops_transform(key: Array, clip: Array, base_fn) -> Array:
     """Two independent draws of the same pipeline -> (2, ...) views
     (reference TwoCropsTransform, augmentation.py:886-894)."""

@@ -242,3 +242,18 @@ def test_composers():
 
     out = two_crops_transform(jax.random.PRNGKey(4), clip, bright)
     assert out.shape == (2, 4, 8, 8, 3)
+
+
+def test_multiple_clip_transform():
+    from dualvar_tpu.aug.pipeline import multiple_clip_transform
+
+    clip = jnp.array(np.random.RandomState(9).rand(4, 8, 8, 3)
+                     .astype(np.float32))
+    frames = jnp.concatenate([clip, clip], axis=0)
+    ident = lambda k, c: c
+    bright = lambda k, c: jnp.clip(c * 1.5, 0, 1)
+    out = multiple_clip_transform(jax.random.PRNGKey(0), frames,
+                                  [ident, bright], 4)
+    np.testing.assert_allclose(np.array(out[:4]), np.array(clip), atol=1e-6)
+    np.testing.assert_allclose(np.array(out[4:]),
+                               np.clip(np.array(clip) * 1.5, 0, 1), atol=1e-6)
