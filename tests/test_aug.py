@@ -257,3 +257,35 @@ def test_multiple_clip_transform():
     np.testing.assert_allclose(np.array(out[:4]), np.array(clip), atol=1e-6)
     np.testing.assert_allclose(np.array(out[4:]),
                                np.clip(np.array(clip) * 1.5, 0, 1), atol=1e-6)
+
+
+def test_color_ops_match_reference_numpy_goldens():
+    """Goldens generated by RUNNING the reference's numpy color ops
+    (augmentation.py adjust_*_np — uint8-domain: rint + clip 255) on a
+    uint8 image — the same oracle methodology as the loss goldens. Our
+    ops use the torchvision float-tensor semantics the reference's
+    training path delegates to, so agreement is to uint8 quantization
+    (hue is exact: both sides do the float HSV roundtrip)."""
+    import os
+
+    gdir = os.path.join(os.path.dirname(__file__), "goldens")
+    img_u8 = np.load(os.path.join(gdir, "g_aug_img.npy"))
+    gold = np.load(os.path.join(gdir, "g_aug_color_ops.npz"))
+    clip = F.to_float(jnp.asarray(img_u8))[None]  # (1, H, W, C) in [0,1]
+    # the oracle quantizes twice (its grayscale truncates to uint8, the
+    # blend rints): agreement bound is one uint8 step
+    q = 1.05 / 255
+
+    for f in (0.4, 1.0, 1.6):
+        for op, fn in (("brightness", F.adjust_brightness),
+                       ("contrast", F.adjust_contrast),
+                       ("saturation", F.adjust_saturation)):
+            ours = np.asarray(fn(clip, f))[0]
+            np.testing.assert_allclose(
+                ours, gold[f"{op}_{f}"].astype(np.float32) / 255.0,
+                atol=q, err_msg=f"{op} {f}")
+    for h in (-0.3, 0.0, 0.25):
+        ours = np.asarray(F.adjust_hue(clip, h))[0]
+        np.testing.assert_allclose(
+            ours, gold[f"hue_{h}"].astype(np.float32) / 255.0,
+            atol=q, err_msg=f"hue {h}")
