@@ -182,19 +182,15 @@ def gaussian_blur(clip: Array, sigma: Array, taps: int = 13,
     sigma ~ U[0.1, 2]); kernel is a true Gaussian rather than PIL's
     box-blur approximation.
 
-    ``on``: traced random-apply gate. When False the kernel collapses to a
-    center delta tap, making the conv an exact identity — one conv pass
-    instead of computing the blur unconditionally and selecting between two
-    materialized clip-sized arrays.
+    ``on``: traced random-apply gate; when False the ORIGINAL clip is
+    returned bit-exactly (a cheap select — the not-blurred view must not
+    pick up the band matmuls' bf16 operand rounding).
     """
     T, H, W, C = clip.shape
     r = taps // 2
     x = jnp.arange(-r, r + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-6)) ** 2)
     k = k / jnp.sum(k)
-    if not (isinstance(on, bool) and on):
-        delta = (x == 0).astype(jnp.float32)
-        k = jnp.where(on, k, delta)
 
     # Separable blur as two banded-matrix matmuls on the MXU: a depthwise
     # conv with C=3 channels wastes 125/128 lanes, while B[u, v] = k[u - v]
@@ -209,14 +205,12 @@ def gaussian_blur(clip: Array, sigma: Array, taps: int = 13,
                          0.0).astype(clip.dtype)
 
     out = jnp.pad(clip, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
-    # HIGHEST precision: at the MXU default the f32 operands truncate to
-    # bf16, which would perturb the exact-identity delta-kernel (blur-off)
-    # path; the band matmuls are tiny so the 6-pass f32 mode is cheap
-    hp = jax.lax.Precision.HIGHEST
     # rows: (T, H+2r, W+2r, C) x (W+2r, W) over the W axis
-    out = jnp.einsum("thuc,uw->thwc", out, band(W), precision=hp)
+    out = jnp.einsum("thuc,uw->thwc", out, band(W))
     # cols: contract the H+2r axis
-    out = jnp.einsum("tuwc,uh->thwc", out, band(H), precision=hp)
+    out = jnp.einsum("tuwc,uh->thwc", out, band(H))
+    if not (isinstance(on, bool) and on):
+        out = jnp.where(on, out, clip)
     return out
 
 
