@@ -350,9 +350,6 @@ def pad_frames(clip: Array, pad: int, value: float = 0.0) -> Array:
                    constant_values=value)
 
 
-_JITTER_RANGES = dict(brightness=0.8, contrast=0.8, saturation=0.8, hue=0.2)
-
-
 def sample_jitter_factors(
     key: Array,
     seq_len: int,
