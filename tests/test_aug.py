@@ -289,3 +289,10 @@ def test_color_ops_match_reference_numpy_goldens():
         np.testing.assert_allclose(
             ours, gold[f"hue_{h}"].astype(np.float32) / 255.0,
             atol=q, err_msg=f"hue {h}")
+
+
+def test_gaussian_blur_off_is_bit_exact(clip):
+    """The blur-off path must return the clip unchanged (regression: a
+    delta-kernel matmul at MXU default precision perturbed it)."""
+    out = F.gaussian_blur(clip, jnp.float32(1.3), on=jnp.bool_(False))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(clip))

@@ -36,3 +36,19 @@ def test_phase_dgrad_matches_autodiff(stride, pad, shape, k):
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-6)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-6)
+
+
+def test_stride4_uses_standard_path():
+    """Strides outside {1,2} must not route into the phase-decomposed
+    dgrad (regression: the guard admitted them and the backward
+    KeyError'd at trace time)."""
+    from dualvar_tpu.models.layers import Conv3d
+
+    conv = Conv3d(6, kernel_size=3, stride=(2, 4, 4), padding=1,
+                  use_bias=False)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 4, 8, 8, 3)), jnp.float32)
+    v = conv.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda p, x: jnp.sum(conv.apply(p, x) ** 2))(v, x)
+    assert np.isfinite(np.asarray(
+        jax.tree_util.tree_leaves(g)[0])).all()

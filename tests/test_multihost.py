@@ -19,3 +19,15 @@ def test_two_process_distributed_smoke():
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "multihost smoke PASSED" in out.stdout
+
+
+def test_init_distributed_ignores_sentinel_env(monkeypatch):
+    """A relay exporting TPU_WORKER_HOSTNAMES set to a warning string must
+    not trigger jax.distributed.initialize (regression: every real-TPU
+    driver run crashed with 'coordinator_address should be defined')."""
+    from dualvar_tpu.core import mesh
+
+    monkeypatch.setenv(
+        "TPU_WORKER_HOSTNAMES",
+        "WARNING: could not determine TPU worker hostnames or IP addresses")
+    mesh.init_distributed()  # must be a no-op, not raise
