@@ -134,11 +134,30 @@ def input_pipeline_bench(train_step, params, batch_stats, opt_state, B, T):
     return achieved, decode_clips, ncores, h2d_mbps
 
 
+def softdtw_device_check() -> dict:
+    """Continuous re-verification of the Pallas soft-DTW kernels vs the XLA
+    oracle on whatever backend the bench runs on (the PARITY bit-exactness
+    claim; reference self-check pattern utils/soft_dtw_cuda.py:373-409)."""
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.softdtw_device_check import run_check
+
+        fwd, bwd, impl = run_check(verbose=False)
+        log(f"softdtw {impl} vs oracle: fwd_err {fwd:.2e} bwd_err {bwd:.2e}")
+        return {"softdtw_check": {"impl": impl, "fwd_err": fwd,
+                                  "bwd_err": bwd, "exact": fwd == bwd == 0.0}}
+    except Exception as e:  # never let the check sink the bench metric
+        log("softdtw device check failed to run:", repr(e))
+        return {"softdtw_check": {"error": repr(e)}}
+
+
 def main():
     from dualvar_tpu.aug.pipeline import AugConfig
     from dualvar_tpu.models.ssl.simclr import SimCLRNaked
     from dualvar_tpu.train.tasks import total_loss
     import dualvar_tpu.aug.pipeline as P
+
+    softdtw_info = softdtw_device_check()
 
     B, T, H0, W0 = 128, 16, 171, 128
     img = 112
@@ -272,6 +291,7 @@ def main():
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / a100_est, 3)
         if a100_est == a100_est else None,
+        **softdtw_info,
     }))
 
 

@@ -123,13 +123,28 @@ def adjust_hue(clip: Array, factor: Array) -> Array:
 # spatial ops
 # --------------------------------------------------------------------------
 
-def random_crop(key: Array, clip: Array, size: int) -> Array:
-    """Clip-consistent random crop (augmentation.py:149-175, n_seqblock=0)."""
+def random_crop(key: Array, clip: Array, size: int,
+                n_seqblock: int = 0) -> Array:
+    """Clip-consistent random crop (augmentation.py:149-175, n_seqblock=0).
+
+    ``n_seqblock`` > 0 re-draws the crop position every ``n_seqblock``
+    consecutive frames (the reference's block-consistent variant,
+    augmentation.py:167-175: a fresh origin whenever ``i % n_seqblock == 0``).
+    """
     T, H, W, C = clip.shape
     ky, kx = jax.random.split(key)
-    y0 = jax.random.randint(ky, (), 0, H - size + 1)
-    x0 = jax.random.randint(kx, (), 0, W - size + 1)
-    return jax.lax.dynamic_slice(clip, (0, y0, x0, 0), (T, size, size, C))
+    if n_seqblock <= 0:
+        y0 = jax.random.randint(ky, (), 0, H - size + 1)
+        x0 = jax.random.randint(kx, (), 0, W - size + 1)
+        return jax.lax.dynamic_slice(clip, (0, y0, x0, 0), (T, size, size, C))
+    n_blocks = -(-T // n_seqblock)
+    y0 = jnp.repeat(jax.random.randint(ky, (n_blocks,), 0, H - size + 1),
+                    n_seqblock)[:T]
+    x0 = jnp.repeat(jax.random.randint(kx, (n_blocks,), 0, W - size + 1),
+                    n_seqblock)[:T]
+    return jax.vmap(
+        lambda f, y, x: jax.lax.dynamic_slice(f, (y, x, 0), (size, size, C))
+    )(clip, y0, x0)
 
 
 def center_crop(clip: Array, size: int) -> Array:
@@ -160,11 +175,21 @@ def hflip(clip: Array) -> Array:
     return clip[:, :, ::-1, :]
 
 
-def random_hflip(key: Array, clip: Array, p: float = 0.5) -> Array:
+def random_hflip(key: Array, clip: Array, p: float = 0.5,
+                 seq_len: int = 0) -> Array:
     """Whole-clip random flip (augmentation.py:314-341; consistent=False with
-    seq_len == clip length is one draw per clip)."""
-    do = jax.random.uniform(key) < p
-    return jnp.where(do, hflip(clip), clip)
+    seq_len == clip length is one draw per clip).
+
+    ``seq_len`` > 0 re-draws the flip decision every ``seq_len`` consecutive
+    frames (the reference's per-seq-block variant, augmentation.py:332-341:
+    a fresh draw whenever ``idx % seq_len == 0``)."""
+    T = clip.shape[0]
+    if seq_len <= 0 or seq_len >= T:
+        do = jax.random.uniform(key) < p
+        return jnp.where(do, hflip(clip), clip)
+    n_blocks = -(-T // seq_len)
+    do = jnp.repeat(jax.random.uniform(key, (n_blocks,)) < p, seq_len)[:T]
+    return jnp.where(do[:, None, None, None], hflip(clip), clip)
 
 
 def resize(clip: Array, out_h: int, out_w: int, method: str = "bicubic") -> Array:

@@ -24,6 +24,23 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _is_orbax_step_dir(path: str) -> bool:
+    """True when ``path`` holds an orbax step checkpoint: the step dir (or an
+    item dir inside it) carries orbax metadata / a commit-success marker."""
+    if not os.path.isdir(path):
+        return False
+    markers = ("_CHECKPOINT_METADATA", "commit_success.txt", "_METADATA",
+               "manifest.ocdbt")
+    entries = os.listdir(path)
+    if any(m in entries for m in markers):
+        return True
+    return any(
+        os.path.isdir(os.path.join(path, e))
+        and any(m in os.listdir(os.path.join(path, e)) for m in markers)
+        for e in entries
+    )
+
+
 class CheckpointStore:
     """Two retention policies side by side, matching the reference exactly:
     a rolling 'latest' for crash recovery (utils/utils.py:29-34
@@ -35,9 +52,14 @@ class CheckpointStore:
     def __init__(self, directory: str, keep_all: bool = False, best_k: int = 5):
         self.directory = os.path.abspath(directory)
         # backwards compat: a flat store (old layout / external dir) is
-        # treated as the latest manager
+        # treated as the latest manager. Detected by the presence of an
+        # actual orbax step checkpoint (digit-named dir containing orbax
+        # metadata), not merely a digit-named entry — a stray '0/' dir in a
+        # non-checkpoint path must not flip the layout.
         self._flat = os.path.isdir(self.directory) and any(
-            name.isdigit() for name in os.listdir(self.directory)
+            name.isdigit() and _is_orbax_step_dir(
+                os.path.join(self.directory, name))
+            for name in os.listdir(self.directory)
         )
         latest_dir = self.directory if self._flat else os.path.join(
             self.directory, "latest")
@@ -109,30 +131,79 @@ def restore_single(path: str, template: Any = None) -> Any:
     return ckptr.restore(os.path.abspath(path))
 
 
+def merge_matching_leaves(
+    dst: Any, src: Any, logger=None, strict: bool = False, prefix: str = ""
+) -> tuple[Any, dict[str, list[str]]]:
+    """Copy every ``src`` leaf whose path exists in ``dst`` with the same
+    shape; keep the ``dst`` leaf otherwise. The tolerant intersection load of
+    the reference's ``neq_load_customized`` (utils/utils.py:112-137), which
+    deliberately loads what matches and *reports* the rest so ablation /
+    cross-backbone checkpoint reuse degrades gracefully.
+
+    Returns (merged_tree, report) with report keys 'loaded',
+    'missing_in_src' (dst leaves kept at their fresh init), and 'unused_src'
+    (src leaves with no matching dst path or a mismatched shape).
+    ``strict=True`` raises unless the trees match exactly.
+    """
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    dst_leaves, treedef = tree_flatten_with_path(dst)
+    src_leaves, _ = tree_flatten_with_path(src)
+    src_map = {keystr(p): v for p, v in src_leaves}
+    report = {"loaded": [], "missing_in_src": [], "unused_src": []}
+    merged = []
+    for path, leaf in dst_leaves:
+        k = keystr(path)
+        s = src_map.pop(k, None)
+        if s is not None and tuple(s.shape) == tuple(leaf.shape):
+            merged.append(s)
+            report["loaded"].append(prefix + k)
+        else:
+            if s is not None:  # present but shape-mismatched
+                report["unused_src"].append(
+                    f"{prefix}{k} (shape {tuple(s.shape)} vs "
+                    f"{tuple(leaf.shape)})")
+            merged.append(leaf)
+            report["missing_in_src"].append(prefix + k)
+    report["unused_src"].extend(prefix + k for k in src_map)
+    if strict and (report["missing_in_src"] or report["unused_src"]):
+        raise ValueError(
+            "strict load: trees do not match; "
+            f"not loaded: {report['missing_in_src'][:8]}; "
+            f"unused from checkpoint: {report['unused_src'][:8]}")
+    if logger:
+        # mirrors the reference's '=======Check Weights Loaded======' report
+        logger.info(
+            f"partial load{' ' + prefix if prefix else ''}: "
+            f"{len(report['loaded'])} leaves loaded, "
+            f"{len(report['missing_in_src'])} kept at init, "
+            f"{len(report['unused_src'])} unused from checkpoint")
+        for k in report["missing_in_src"]:
+            logger.info(f"  not loaded (kept init): {k}")
+        for k in report["unused_src"]:
+            logger.info(f"  unused from checkpoint: {k}")
+    return treedef.unflatten(merged), report
+
+
 def load_pretrained_backbone(
-    classifier_variables: dict, pretrain_variables: dict, logger=None
+    classifier_variables: dict, pretrain_variables: dict, logger=None,
+    strict: bool = False,
 ) -> dict:
     """Graft the pretrain encoder's backbone params + BN stats into a
     classifier variable tree (reference key remap, classifier.py:362-366 +
     partial-load tolerance of neq_load_customized, utils/utils.py:112-137).
 
-    Both trees must contain params['backbone']; every other classifier
+    Both trees should contain params['backbone']; every other classifier
     subtree (final_fc, heads) keeps its fresh init — exactly the subset the
-    reference's remap would have matched.
+    reference's remap would have matched. Leaves whose path or shape differs
+    (cross-backbone / ablation ckpt reuse) are skipped and reported;
+    ``strict=True`` restores the hard failure on any mismatch.
     """
     out = jax.tree.map(lambda x: x, classifier_variables)  # shallow-ish copy
     for col in ("params", "batch_stats"):
         if col in pretrain_variables and col in out and "backbone" in pretrain_variables[col]:
-            src = pretrain_variables[col]["backbone"]
-            dst = out[col]["backbone"]
-            src_shapes = jax.tree.map(lambda a: a.shape, src)
-            dst_shapes = jax.tree.map(lambda a: a.shape, dst)
-            if src_shapes != dst_shapes:
-                raise ValueError(
-                    "pretrain backbone does not match classifier backbone: "
-                    f"{src_shapes} vs {dst_shapes}"
-                )
-            out[col]["backbone"] = src
-            if logger:
-                logger.info(f"loaded pretrained backbone {col}")
+            merged, _ = merge_matching_leaves(
+                out[col]["backbone"], pretrain_variables[col]["backbone"],
+                logger=logger, strict=strict, prefix=f"{col}/backbone")
+            out[col]["backbone"] = merged
     return out

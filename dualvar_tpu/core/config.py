@@ -43,6 +43,11 @@ class AugFlags:
     rand_flip: bool = True  # temporal flip in pretrain; spatial in classifier
     with_color_jitter: bool = True  # classifier.py:50
     aug_crop: bool = True  # classifier.py:104 — Scale((128,171)) when img_dim 112
+    # 'batch': one color-jitter op-order draw per (step, view), shared across
+    # the batch (perf default; see aug/pipeline.py AugConfig.jitter_order).
+    # 'sample': reference-exact per-clip random op order
+    # (augmentation.py:510) — use for parity-validation runs.
+    jitter_order: str = "batch"
 
 
 @dataclass(frozen=True)

@@ -23,17 +23,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-# Env vars that indicate a multi-host launch where jax.distributed can
-# auto-detect (or is explicitly given) a coordinator. Checked WITHOUT touching
-# any jax API: jax.process_count()/devices() initialize the XLA backend, after
-# which jax.distributed.initialize() raises.
-_CLUSTER_ENV_VARS = (
-    "JAX_COORDINATOR_ADDRESS",   # explicit coordinator
+# Env vars that carry an EXPLICIT coordinator address. When one of these is
+# set, the user asked for multi-host: failures must raise, never silently
+# degrade to N independent single-host runs writing the same log dir.
+_EXPLICIT_COORD_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU
+)
+
+# Env vars from which jax.distributed can AUTO-DETECT a cluster. These are
+# exported by schedulers/relays on single-host rigs too (e.g. a TPU relay
+# exports TPU_WORKER_HOSTNAMES=localhost), so they only count as a cluster
+# signal when they name more than one host. Checked WITHOUT touching any jax
+# API: jax.process_count()/devices() initialize the XLA backend, after which
+# jax.distributed.initialize() raises.
+_AUTO_DETECT_VARS = (
     "TPU_WORKER_HOSTNAMES",      # Cloud TPU pod auto-detection
     "SLURM_STEP_NODELIST",       # SLURM cluster auto-detection
 )
+
+
+def _plausible(v: str) -> bool:
+    # tooling sometimes exports sentinel/warning strings (e.g. a TPU relay
+    # sets TPU_WORKER_HOSTNAMES to "WARNING: could not determine..."); a
+    # real hostname list / address has no whitespace
+    return bool(v) and not any(c.isspace() for c in v)
+
+
+def _names_multiple_hosts(v: str) -> bool:
+    """True only when a scheduler host list names >1 worker. A single entry
+    (``localhost``, this machine, or any lone hostname) is a single-host
+    launch — jax.distributed has nothing to rendezvous."""
+    if not _plausible(v):
+        return False
+    if "[" in v:  # SLURM compressed range, e.g. node[01-04]
+        return True
+    return len([h for h in v.split(",") if h.strip()]) > 1
 
 
 def init_distributed() -> None:
@@ -45,32 +71,47 @@ def init_distributed() -> None:
     uninitialized backend, so the launch-environment check reads env vars
     only. Already-initialized (an outer launcher called initialize, or a
     second driver invocation in-process) is tolerated."""
-    def _plausible(v: str) -> bool:
-        # tooling sometimes exports sentinel/warning strings (e.g. a TPU
-        # relay sets TPU_WORKER_HOSTNAMES to "WARNING: could not
-        # determine..."); a real hostname list has no whitespace
-        return bool(v) and not any(c.isspace() for c in v)
-
-    if not any(_plausible(os.environ.get(k, "")) for k in _CLUSTER_ENV_VARS):
+    explicit = any(
+        _plausible(os.environ.get(k, "")) for k in _EXPLICIT_COORD_VARS)
+    auto = any(
+        _names_multiple_hosts(os.environ.get(k, ""))
+        for k in _AUTO_DETECT_VARS)
+    if not (explicit or auto):
         return
     try:
         jax.distributed.initialize()
     except RuntimeError as e:
-        # only the already-initialized case is benign; anything else
-        # (coordinator timeouts surface as RuntimeError subclasses) must
-        # not silently degrade a pod launch to single-host
-        if "already" in str(e).lower():
+        msg = str(e).lower()
+        # distributed service already brought up (outer launcher, or a
+        # second driver invocation in-process) — benign
+        if "already" in msg:
+            return
+        # "must be called before any JAX calls": the XLA backend is live in
+        # this process (pytest, notebook, library use). With only an
+        # auto-detect hint that is a benign single-host situation; with an
+        # explicit coordinator the user asked for multi-host and silently
+        # degrading would fork the run into N independent trainings.
+        if "before" in msg and "jax" in msg and not explicit:
+            from dualvar_tpu.core.logging import get_logger
+
+            get_logger().warning(
+                "init_distributed: JAX backend already initialized in this "
+                "process; continuing single-host (%s)", e)
             return
         raise
     except ValueError as e:
+        if explicit:
+            # coordinator explicitly requested but unusable — a real
+            # multi-host launch must fail loudly on every process
+            raise
         # auto-detection misfired (env var set but no coordinator could be
-        # derived) — proceed single-host, loudly
-        import warnings
+        # derived) — proceed single-host, loudly, on every process
+        from dualvar_tpu.core.logging import get_logger
 
-        warnings.warn(
-            f"jax.distributed.initialize() failed ({e}); continuing "
+        get_logger().warning(
+            "jax.distributed.initialize() failed (%s); continuing "
             "single-host. Set JAX_COORDINATOR_ADDRESS explicitly for "
-            "multi-host runs.")
+            "multi-host runs.", e)
 
 
 def data_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:

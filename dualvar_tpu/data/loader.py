@@ -343,6 +343,7 @@ class HostLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def __len__(self):
@@ -383,6 +384,8 @@ class HostLoader:
                  for i in indices]
         native_mod, (H, W) = nb
         F = len(plans[0][1])
+        assert all(len(idx) == F for _, idx, _ in plans), \
+            [len(idx) for _, idx, _ in plans]
         out = np.empty((len(plans), F, H, W, 3), np.uint8)
         paths = [p for vname, idx, _ in plans for p in src.paths(vname, idx)]
         # up to `prefetch` assemblies run concurrently, each spawning its
@@ -390,7 +393,7 @@ class HostLoader:
         # oversubscribed 2x
         ok = native_mod.decode_jpeg_files_into(
             paths, out.reshape(len(plans) * F, H, W, 3),
-            n_threads=max(1, self.pool._max_workers // max(1, min(
+            n_threads=max(1, self.num_workers // max(1, min(
                 self.prefetch, 2))))
         assert ok
         batch = {"frames": out}

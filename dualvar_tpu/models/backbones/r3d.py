@@ -60,7 +60,8 @@ class R3DNet(nn.Module):
             x = StemConv7x7(64, kt=3, dtype=self.dtype, name="conv1")(x)
         else:
             x = Conv3d(64, (3, 7, 7), stride=(1, 2, 2), padding=(1, 3, 3),
-                       use_bias=False, dtype=self.dtype, name="conv1")(x)
+                       use_bias=False, s2d_stem=self.s2d_stem,
+                       dtype=self.dtype, name="conv1")(x)
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train)
         x = nn.relu(x)
         widths = (64, 128, 256, 512)

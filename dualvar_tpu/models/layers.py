@@ -84,6 +84,10 @@ class Conv3d(nn.Module):
     padding: Any = 0
     use_bias: bool = True
     kernel_init: Callable | None = None  # default: torch conv init
+    # gate for the stem space-to-depth rewrite below; backbones thread their
+    # s2d_stem flag here so s2d_stem=False really disables the rewrite (the
+    # escape hatch for numeric debugging)
+    s2d_stem: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -101,7 +105,8 @@ class Conv3d(nn.Module):
         # stem-shaped convs (kt,7,7)/s(1,2,2)/p(.,3,3) on <=8 input channels
         # route through the space-to-depth rewrite (see stem_conv_s2d): the
         # narrow-channel stem wastes MXU lanes; identical math, same params
-        if ((ks[1], ks[2]) == (7, 7) and st == (1, 2, 2)
+        if (self.s2d_stem
+                and (ks[1], ks[2]) == (7, 7) and st == (1, 2, 2)
                 and pd == (ks[0] // 2, 3, 3) and in_ch <= 8
                 and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
             y = stem_conv_s2d(x, kernel)

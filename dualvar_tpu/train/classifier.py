@@ -261,6 +261,7 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
         img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,
         with_color_jitter=cfg.aug.with_color_jitter,
         rand_flip=cfg.aug.rand_flip,
+        jitter_order=cfg.aug.jitter_order,
     )
 
     train_loader = HostLoader(
@@ -627,7 +628,7 @@ def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
         topk = np.argsort(-sim, axis=1)[:, :kk]
         hit = (train_l[topk] == test_l[:, None]).any(axis=1)
         out[f"R@{k}"] = float(hit.mean())
-        logger.info(f"{k}NN acc = {out[f'R@{k}']:.4f}")
+        logger.info(f"R@{k} ({k}NN acc) = {out[f'R@{k}']:.4f}")
     if jax.process_index() == 0:
         with open(os.path.join(feat_dir, "retrieval.json"), "w") as f:
             json.dump(out, f)
@@ -656,6 +657,10 @@ def main():
     p.add_argument("--use_bn", dest="use_final_bn", action="store_const",
                    const=True, default=None)
     p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--jitter_order", default=None,
+                   choices=[None, "batch", "sample"],
+                   help="color-jitter op-order granularity: 'sample' is the "
+                        "reference-exact per-clip order (use for parity runs)")
     # dataset group
     p.add_argument("--dataset", default=None)
     p.add_argument("--which_split", type=int, default=None)
@@ -697,6 +702,7 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         data=data,
+        aug=_override(cfg.aug, args, ("jitter_order",)),
         model=_override(cfg.model, args, ("net",)),
         optim=_override(
             dataclasses.replace(

@@ -192,6 +192,7 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
         img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,
         aug_temp_consist=cfg.aug.aug_temp_consist,
         aug_temp_grad_consist=cfg.aug.aug_temp_grad_consist,
+        jitter_order=cfg.aug.jitter_order,
     )
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
 
@@ -351,6 +352,11 @@ def main():
     p.add_argument("--moco-t", dest="moco_t", type=float, default=None)
     p.add_argument("--moco_shuffle_bn", type=int, default=None,
                    help="BN batch-shuffle parity mode: number of BN groups")
+    # aug group
+    p.add_argument("--jitter_order", default=None,
+                   choices=[None, "batch", "sample"],
+                   help="color-jitter op-order granularity: 'sample' is the "
+                        "reference-exact per-clip order (use for parity runs)")
     # dataset group
     p.add_argument("--dataset", default=None)
     p.add_argument("--data_root", default=None)
@@ -388,6 +394,7 @@ def main():
         data = dataclasses.replace(data, synthetic=False)
     cfg = cfg.replace(
         data=data,
+        aug=_override(cfg.aug, args, ("jitter_order",)),
         model=_override(cfg.model, args,
                         ("net", "model", "mode", "n_series", "series_dim",
                          "shufflerank_theta", "series_T", "aligned_T",

@@ -20,6 +20,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# jax 0.9 XLA:CPU runs DEFAULT-precision matmuls/convs at reduced precision
+# (~5e-4 relative vs numpy); the oracle/parity tests need true f32
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 

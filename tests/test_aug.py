@@ -75,6 +75,50 @@ def test_random_crop_identity_when_exact(clip):
     np.testing.assert_array_equal(np.array(out), np.array(small))
 
 
+def test_random_crop_blockwise(clip):
+    """n_seqblock variant (augmentation.py:167-175): one crop origin per run
+    of n_seqblock consecutive frames; frames inside a block share it."""
+    out = F.random_crop(jax.random.PRNGKey(3), clip, 16, n_seqblock=2)
+    assert out.shape == (4, 16, 16, 3)
+    c, o = np.array(clip), np.array(out)
+
+    def origin_of(t):
+        for y in range(24 - 16 + 1):
+            for x in range(20 - 16 + 1):
+                if np.allclose(c[t, y : y + 16, x : x + 16], o[t]):
+                    return (y, x)
+        raise AssertionError(f"frame {t} is not a window of the source")
+
+    origins = [origin_of(t) for t in range(4)]
+    assert origins[0] == origins[1] and origins[2] == origins[3]
+    # different blocks draw independently: with key 3 they differ
+    assert origins[0] != origins[2]
+
+
+def test_random_hflip_per_seqblock():
+    """seq_len variant (augmentation.py:332-341): one flip draw per run of
+    seq_len frames; frames inside a block share the decision."""
+    clip = jnp.array(
+        np.random.RandomState(4).rand(8, 6, 6, 3).astype(np.float32))
+    c = np.array(clip)
+    for seed in range(6):
+        out = np.array(F.random_hflip(jax.random.PRNGKey(seed), clip,
+                                      p=0.5, seq_len=2))
+        flipped = []
+        for t in range(8):
+            if np.array_equal(out[t], c[t]):
+                flipped.append(False)
+            else:
+                np.testing.assert_array_equal(out[t], c[t, :, ::-1])
+                flipped.append(True)
+        assert all(flipped[2 * b] == flipped[2 * b + 1] for b in range(4))
+    # across seeds at p=0.5 some block must flip and some must not
+    outs = [np.array(F.random_hflip(jax.random.PRNGKey(s), clip, 0.5,
+                                    seq_len=2)) for s in range(6)]
+    assert any(not np.array_equal(o, c) for o in outs)
+    assert any(not np.array_equal(o, c[:, :, ::-1]) for o in outs)
+
+
 def test_center_crop(clip):
     out = F.center_crop(clip, 16)
     y0, x0 = int(round((24 - 16) / 2)), int(round((20 - 16) / 2))

@@ -91,3 +91,26 @@ def test_distance_builders():
     )
     out = soft_dtw_sequences(x, y, 1.0, 0.0, "euclidean", impl="xla")
     assert out.shape == (2,)
+
+
+def test_pallas_kernel_matches_oracle_on_device():
+    """Hardware regression check for the PARITY bit-exactness claim: the
+    Pallas fwd AND bwd kernels must equal the XLA oracle ON TPU. Skipped
+    off-TPU (the conftest forces the CPU platform for the suite; this test
+    exists for on-hardware runs — bench.py also runs the same check every
+    bench invocation via scripts/softdtw_device_check.py)."""
+    import jax
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a TPU; covered on-hardware by bench.py")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.softdtw_device_check import run_check
+
+    fwd_err, bwd_err, impl = run_check(verbose=False)
+    assert impl == "pallas"
+    assert fwd_err == 0.0, f"Pallas fwd drifted from oracle: {fwd_err}"
+    assert bwd_err == 0.0, f"Pallas bwd drifted from oracle: {bwd_err}"
