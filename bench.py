@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+# persistent compile cache: the softdtw self-check + train step are ~a dozen
+# XLA programs; through the relay a cold compile run costs several minutes
+jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
