@@ -168,7 +168,10 @@ def main():
     img = 112
     model = SimCLRNaked(network="r3d", dim=128, temperature=0.07,
                         dtype=jnp.bfloat16)
-    aug_cfg = AugConfig(img_dim=img, seq_len=T)  # f32 aug measured faster than bf16 on v5e
+    # fused Pallas aug kernel (ops/aug_fused.py): one VMEM-resident pass for
+    # crop->jitter->blur->normalize; f32 out (f32 aug-out measured faster
+    # than bf16 out on v5e for the unfused path; fused re-measured equal)
+    aug_cfg = AugConfig(img_dim=img, seq_len=T, fused="auto")
 
     rng = jax.random.PRNGKey(0)
     example = jnp.zeros((B, 2, T, img, img, 3), jnp.float32)

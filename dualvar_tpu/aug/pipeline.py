@@ -44,6 +44,16 @@ class AugConfig:
     # materialize (measured ~3x aug cost). 'sample': reference-exact
     # per-clip order (augmentation.py:510 random.shuffle per clip).
     jitter_order: str = "batch"
+    # fused Pallas aug kernel (ops/aug_fused.py): 'auto' = on for TPU
+    # backends, off elsewhere (the CPU interpret path is test-only slow);
+    # 'on'/'off' force. The fused path honours jitter_order='sample' at no
+    # extra cost (the op-order switch index is a kernel scalar).
+    fused: str = "off"
+    # in-kernel compute dtype for the fused path; 'float32' matches the
+    # unfused pipeline to ~1e-5. 'bfloat16' would halve the VMEM-bandwidth-
+    # bound jitter cost but only runs in interpret mode today (Mosaic
+    # cannot lower bf16 vector compares); kept for when it can.
+    fused_compute: str = "float32"
 
     @property
     def jitter_mode(self) -> str:
@@ -217,11 +227,114 @@ def two_crops_transform(key: Array, clip: Array, base_fn) -> Array:
     return jnp.stack([base_fn(k1, clip), base_fn(k2, clip)])
 
 
-# batched, jitted entry points --------------------------------------------
+# fused-kernel path --------------------------------------------------------
+
+def _draw_clip_params(key: Array, cfg: AugConfig, use_aug, H0: int, W0: int,
+                      order: Array | None):
+    """Draw one clip's augmentation parameters with the EXACT key-splitting
+    discipline of ``_augmented_clip`` -> ``F.color_jitter`` ->
+    ``F.sample_jitter_factors``, but return them as arrays for the fused
+    kernel instead of applying ops. Same key => same random decisions as
+    the unfused path (the fused==unfused equivalence tests rely on this)."""
+    import jax.random as jr
+
+    k_crop, k_jit_on, k_jit, k_blur_on, k_sig = jr.split(key, 5)
+    ky, kx = jr.split(k_crop)
+    y0 = jr.randint(ky, (), 0, H0 - cfg.img_dim + 1)
+    x0 = jr.randint(kx, (), 0, W0 - cfg.img_dim + 1)
+    jit_on = use_aug & (jr.uniform(k_jit_on) < 0.8)
+    k_apply, k_factors, k_order = jr.split(k_jit, 3)
+    f = F.sample_jitter_factors(k_factors, cfg.seq_len, 0.8, 0.8, 0.8, 0.2,
+                                cfg.jitter_mode)
+    apply = jit_on & (jr.uniform(k_apply) < 0.8)
+    ident = dict(brightness=1.0, contrast=1.0, saturation=1.0, hue=0.0)
+    factors = jnp.stack([
+        jnp.where(apply, f[n], ident[n])
+        for n in ("brightness", "contrast", "saturation", "hue")])
+    if order is None:
+        order = jr.permutation(k_order, 4)
+    blur_on = use_aug & (jr.uniform(k_blur_on) < 0.5)
+    sigma = jr.uniform(k_sig, minval=0.1, maxval=2.0)
+    return (jnp.stack([y0, x0]).astype(jnp.int32), order.astype(jnp.int32),
+            factors, jnp.stack([sigma, blur_on.astype(jnp.float32)]))
+
 
 @partial(jax.jit, static_argnames=("cfg",))
+def pretrain_batch_fused(key: Array, frames_u8: Array,
+                         cfg: AugConfig) -> Array:
+    """Fused-kernel variant of ``pretrain_batch``: all randomness drawn here
+    (mirroring the unfused key splits), the whole crop->jitter->blur->
+    normalize chain in one Pallas pass (ops/aug_fused.py)."""
+    from ..ops.aug_fused import aug_fused
+
+    B, VT, H0, W0, C = frames_u8.shape
+    T = cfg.seq_len
+    V = VT // T
+    k_batch, k_order = jax.random.split(key)
+    shared = None
+    if cfg.jitter_order == "batch":
+        shared = jnp.stack([
+            jax.random.permutation(jax.random.fold_in(k_order, v), 4)
+            for v in range(V)])
+
+    def draw_sample(k):
+        ks = jax.random.split(k, V + 1)
+        per_view = []
+        for v in range(V):
+            use_aug = (jax.random.uniform(ks[V]) < 0.8 if v == 0
+                       else jnp.bool_(True))
+            per_view.append(_draw_clip_params(
+                ks[v], cfg, use_aug, H0, W0,
+                None if shared is None else shared[v]))
+        return tuple(jnp.stack(x) for x in zip(*per_view))
+
+    crops, orders, factors, blurs = jax.vmap(draw_sample)(
+        jax.random.split(k_batch, B))
+    d = cfg.img_dim
+    clips = frames_u8.reshape(B * V, T, H0, W0, C)
+
+    def crop_one(clip, cr):
+        return jax.lax.dynamic_slice(
+            clip, (0, cr[0], cr[1], 0), (T, d, d, C))
+
+    # crop on uint8 + planar transpose outside the kernel: XLA does both
+    # exactly and cheaply; Mosaic can't express the unaligned dynamic slice
+    cropped = jax.vmap(crop_one)(clips, crops.reshape(B * V, 2))
+    planar = cropped.transpose(0, 4, 1, 2, 3)  # (B*V, C, T, d, d)
+    # consistent mode: all T entries of each factor row are one broadcast
+    # draw — pass the scalars (the kernel requires clip-consistent factors)
+    assert cfg.jitter_mode == "consistent", cfg.jitter_mode
+    out = aug_fused(
+        planar, orders.reshape(B * V, 4),
+        factors[..., 0].reshape(B * V, 4), blurs.reshape(B * V, 2),
+        out_dtype=jnp.dtype(cfg.out_dtype),
+        compute_dtype=jnp.dtype(cfg.fused_compute))
+    d = cfg.img_dim
+    return out.reshape(B, V, C, T, d, d).transpose(0, 1, 3, 4, 5, 2)
+
+
+def _use_fused(cfg: AugConfig) -> bool:
+    if cfg.jitter_mode != "consistent":
+        # per-frame factor modes need a lane->batch relayout Mosaic cannot
+        # lower; they stay on the unfused path
+        return False
+    if cfg.fused == "auto":
+        return jax.default_backend() == "tpu"
+    return cfg.fused == "on"
+
+
+# batched, jitted entry points --------------------------------------------
+
 def pretrain_batch(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
     """(B, n_views*T, H0, W0, C) uint8 -> (B, n_views, T, d, d, C)."""
+    if _use_fused(cfg):
+        return pretrain_batch_fused(key, frames_u8, cfg)
+    return _pretrain_batch_unfused(key, frames_u8, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pretrain_batch_unfused(key: Array, frames_u8: Array,
+                            cfg: AugConfig) -> Array:
     n_views = frames_u8.shape[1] // cfg.seq_len
     k_batch, k_order = jax.random.split(key)
     orders = None

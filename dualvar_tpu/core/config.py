@@ -46,8 +46,12 @@ class AugFlags:
     # 'batch': one color-jitter op-order draw per (step, view), shared across
     # the batch (perf default; see aug/pipeline.py AugConfig.jitter_order).
     # 'sample': reference-exact per-clip random op order
-    # (augmentation.py:510) — use for parity-validation runs.
+    # (augmentation.py:510) — use for parity-validation runs. The fused
+    # kernel path honours 'sample' at no extra cost.
     jitter_order: str = "batch"
+    # fused Pallas aug kernel (ops/aug_fused.py): 'auto' = on for TPU
+    # backends with clip-consistent jitter, 'on'/'off' force
+    fused_aug: str = "auto"
 
 
 @dataclass(frozen=True)

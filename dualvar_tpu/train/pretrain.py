@@ -193,6 +193,7 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
         aug_temp_consist=cfg.aug.aug_temp_consist,
         aug_temp_grad_consist=cfg.aug.aug_temp_grad_consist,
         jitter_order=cfg.aug.jitter_order,
+        fused=cfg.aug.fused_aug,
     )
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
 

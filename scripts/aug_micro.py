@@ -80,6 +80,19 @@ def main():
     dt = timeit(lambda: pretrain_batch(key, frames, cfg))
     log(f"full pretrain_batch: {dt * 1e3:.1f} ms")
 
+    from dualvar_tpu.aug.pipeline import pretrain_batch_fused
+    cfg_fused = AugConfig(img_dim=img, seq_len=T, fused="on")
+    ref = pretrain_batch(key, frames, cfg)
+    got = pretrain_batch_fused(key, frames, cfg_fused)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    dt_f = timeit(lambda: pretrain_batch_fused(key, frames, cfg_fused))
+    log(f"fused kernel:        {dt_f * 1e3:.1f} ms (max |err| vs unfused "
+        f"{err:.2e})")
+    cfg_fb = AugConfig(img_dim=img, seq_len=T, fused="on",
+                       out_dtype="bfloat16")
+    dt_fb = timeit(lambda: pretrain_batch_fused(key, frames, cfg_fb))
+    log(f"fused kernel bf16:   {dt_fb * 1e3:.1f} ms")
+
     # stage-by-stage: each stage jitted standalone at the same shapes
     def batched(fn):
         @jax.jit
