@@ -313,6 +313,55 @@ def pretrain_batch_fused(key: Array, frames_u8: Array,
     return out.reshape(B, V, C, T, d, d).transpose(0, 1, 3, 4, 5, 2)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def classifier_train_batch_fused(key: Array, frames_u8: Array,
+                                 cfg: AugConfig) -> Array:
+    """Fused-kernel variant of ``classifier_train_batch`` (crop ->
+    [whole-clip flip] -> [consistent jitter p=.8] -> normalize, no blur),
+    with randomness drawn via the unfused path's exact key splits."""
+    import jax.random as jr
+
+    from ..ops.aug_fused import aug_fused
+
+    B, T_, H0, W0, C = frames_u8.shape
+    d = cfg.img_dim
+    k_batch, k_order = jax.random.split(key)
+    shared = (jr.permutation(k_order, 4)
+              if cfg.jitter_order == "batch" else None)
+
+    def draw(k):
+        k_crop, k_flip, k_jit = jr.split(k, 3)
+        ky, kx = jr.split(k_crop)
+        y0 = jr.randint(ky, (), 0, H0 - d + 1)
+        x0 = jr.randint(kx, (), 0, W0 - d + 1)
+        do_flip = (jr.uniform(k_flip) < 0.5) & bool(cfg.rand_flip)
+        k_apply, k_factors, k_order_s = jr.split(k_jit, 3)
+        f = F.sample_jitter_factors(k_factors, cfg.seq_len, 0.8, 0.8, 0.8,
+                                    0.2, "consistent")
+        apply = (jr.uniform(k_apply) < 0.8) & bool(cfg.with_color_jitter)
+        ident = dict(brightness=1.0, contrast=1.0, saturation=1.0, hue=0.0)
+        factors = jnp.stack([
+            jnp.where(apply, f[n][0], ident[n])
+            for n in ("brightness", "contrast", "saturation", "hue")])
+        order = shared if shared is not None else jr.permutation(k_order_s, 4)
+        return (jnp.stack([y0, x0]).astype(jnp.int32), do_flip,
+                order.astype(jnp.int32), factors)
+
+    crops, flips, orders, factors = jax.vmap(draw)(jr.split(k_batch, B))
+
+    def crop_one(clip, cr, do_flip):
+        c = jax.lax.dynamic_slice(clip, (0, cr[0], cr[1], 0), (T_, d, d, C))
+        return jnp.where(do_flip, c[:, :, ::-1, :], c)
+
+    cropped = jax.vmap(crop_one)(frames_u8, crops, flips)
+    out = aug_fused(
+        cropped.transpose(0, 4, 1, 2, 3), orders, factors,
+        jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (B, 1)),
+        out_dtype=jnp.dtype(cfg.out_dtype),
+        compute_dtype=jnp.dtype(cfg.fused_compute))
+    return out.transpose(0, 2, 3, 4, 1)
+
+
 def _use_fused(cfg: AugConfig) -> bool:
     if cfg.jitter_mode != "consistent":
         # per-frame factor modes need a lane->batch relayout Mosaic cannot
@@ -347,8 +396,20 @@ def _pretrain_batch_unfused(key: Array, frames_u8: Array,
         lambda k, f: pretrain_sample(k, f, cfg, orders))(keys, frames_u8)
 
 
+def classifier_train_batch(key: Array, frames_u8: Array,
+                           cfg: AugConfig) -> Array:
+    # the classifier pipeline always jitters clip-consistently
+    # (classifier.py:1007-1020), so the fused kernel applies regardless of
+    # the pretrain jitter mode flags
+    if cfg.fused == "on" or (cfg.fused == "auto"
+                             and jax.default_backend() == "tpu"):
+        return classifier_train_batch_fused(key, frames_u8, cfg)
+    return _classifier_train_batch_unfused(key, frames_u8, cfg)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def classifier_train_batch(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
+def _classifier_train_batch_unfused(key: Array, frames_u8: Array,
+                                    cfg: AugConfig) -> Array:
     k_batch, k_order = jax.random.split(key)
     order = (jax.random.permutation(k_order, 4)
              if cfg.jitter_order == "batch" else None)

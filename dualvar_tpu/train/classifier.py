@@ -262,6 +262,7 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
         with_color_jitter=cfg.aug.with_color_jitter,
         rand_flip=cfg.aug.rand_flip,
         jitter_order=cfg.aug.jitter_order,
+        fused=cfg.aug.fused_aug,
     )
 
     train_loader = HostLoader(

@@ -91,6 +91,26 @@ def test_fused_bf16_output():
                                np.asarray(ref, np.float32), atol=1e-2)
 
 
+@pytest.mark.parametrize("rand_flip,jitter", [(True, True), (False, True),
+                                              (True, False)])
+def test_classifier_fused_matches_unfused(rand_flip, jitter):
+    from dualvar_tpu.aug.pipeline import (_classifier_train_batch_unfused,
+                                          classifier_train_batch_fused)
+    rng = np.random.default_rng(8)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (4, T, H0, W0, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(13)
+    cfg = dict(img_dim=SIZE, seq_len=T, rand_flip=rand_flip,
+               with_color_jitter=jitter, fused_compute="float32")
+    fused = classifier_train_batch_fused(
+        key, frames, AugConfig(**cfg, fused="on"))
+    unfused = _classifier_train_batch_unfused(
+        key, frames, AugConfig(**cfg, fused="off"))
+    assert fused.shape == unfused.shape == (4, T, SIZE, SIZE, 3)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               atol=2e-5)
+
+
 def test_dispatch_respects_cfg():
     """fused='off' (and 'auto' on CPU) routes through the unfused path."""
     frames = _frames(4)
