@@ -74,6 +74,10 @@ class ModelConfig:
     mode: str = "clip-sr-tc"  # pretrain.py:103; also 'clip-sr-dtw'
     dtw_gamma: float = 0.1  # soft-DTW smoothing for the dtw TC mode
     dtype: str = "bfloat16"  # TPU compute dtype (params stay f32)
+    # rematerialize backbone activations in the backward pass: numerics
+    # unchanged (BN still sees the full batch), ~1/3 more FLOPs, large
+    # activation-memory saving — lets the r21d paper config fit B=64
+    remat: bool = False
 
 
 @dataclass(frozen=True)

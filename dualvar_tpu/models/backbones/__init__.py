@@ -13,6 +13,7 @@ resnet_2d3d.py module docstring). We register the true width.
 
 from __future__ import annotations
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 from .c3d import C3D
@@ -33,20 +34,45 @@ __all__ = [
 ]
 
 
-def select_backbone(network: str, dtype=jnp.float32):
-    """name -> (module, {'feature_size': int}). Reference select_backbone.py:7."""
+def select_backbone(network: str, dtype=jnp.float32, remat: bool = False):
+    """name -> (module, {'feature_size': int}). Reference select_backbone.py:7.
+
+    ``remat``: wrap the backbone in ``nn.remat`` (rematerialize its
+    activations in the backward pass instead of keeping them live). Numerics
+    are unchanged — BN batch statistics still see the full (B * n_views)
+    batch — at ~1/3 more FLOPs; this is the parity-safe lever that lets the
+    r21d paper config fit B=64 on one v5e (channel-padded (2+1)D mid widths
+    inflate its activations 1.3-2x under bf16 tiling).
+    """
+
+    def cls(c, *static):
+        if remat:
+            # static_argnums counts self: (self, x, train). Call rematted
+            # backbones with exactly (x, train) positionally — jax.remat
+            # validates indices against the actual arg count, so r21d's
+            # optional multi_level arg must not be passed (get_features,
+            # the only multi_level user, is a no-remat visualization path).
+            return nn.remat(c, static_argnums=static or (2,))
+        return c
+
     if network == "s3d":
-        return S3D(dtype=dtype), {"feature_size": 1024}
+        return cls(S3D)(dtype=dtype), {"feature_size": 1024}
     if network == "s3dg":
-        return S3D(gating=True, dtype=dtype), {"feature_size": 1024}
+        return cls(S3D)(gating=True, dtype=dtype), {"feature_size": 1024}
     if network == "c3d":
-        return C3D(dtype=dtype), {"feature_size": 512}
+        return cls(C3D)(dtype=dtype), {"feature_size": 512}
     if network == "r3d":
-        return R3DNet(dtype=dtype), {"feature_size": 512}
+        return cls(R3DNet)(dtype=dtype), {"feature_size": 512}
     if network == "r21d":
-        return R2Plus1DNet(dtype=dtype), {"feature_size": 512}
+        return cls(R2Plus1DNet)(dtype=dtype), {"feature_size": 512}
     if network == "r2d3d18":
-        return r2d3d18(dtype=dtype), {"feature_size": 256}
+        return cls(ResNet2d3d)(
+            blocks=[("basic", False)] * 4, layers=(2, 2, 2, 2), dtype=dtype,
+        ), {"feature_size": 256}
     if network == "r50":
-        return r2d3d50(dtype=dtype), {"feature_size": 1024}
+        return cls(ResNet2d3d)(
+            blocks=[("bottleneck", False), ("bottleneck", False),
+                    ("bottleneck", True), ("bottleneck", True)],
+            layers=(3, 4, 6, 3), dtype=dtype,
+        ), {"feature_size": 1024}
     raise NotImplementedError(f"unknown backbone {network!r}")

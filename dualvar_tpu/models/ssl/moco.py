@@ -54,9 +54,11 @@ class MoCoEncoder(nn.Module):
     nonlinear: bool = True
     with_series: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False  # see SimCLRNaked.remat
 
     def setup(self):
-        backbone, param = select_backbone(self.network, self.dtype)
+        backbone, param = select_backbone(self.network, self.dtype,
+                                          remat=self.remat)
         self.backbone = backbone
         self.feature_size = param["feature_size"]
         if self.nonlinear:
@@ -67,7 +69,8 @@ class MoCoEncoder(nn.Module):
             )
 
     def pooled(self, x, train: bool = True):
-        return global_avg_pool3d(self.backbone(x, train=train)).astype(jnp.float32)
+        # positional call: nn.remat's static_argnums are positional indices
+        return global_avg_pool3d(self.backbone(x, train)).astype(jnp.float32)
 
     def __call__(self, x, train: bool = True):
         """Returns (clip_emb (B,dim) normalised, series (B,s,d) normalised)."""

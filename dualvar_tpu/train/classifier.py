@@ -67,7 +67,8 @@ class TrainState(struct.PyTreeNode):
 
 def build_model(cfg: ClassifierConfig) -> LinearClassifier:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.model.dtype]
-    backbone, param = select_backbone(cfg.model.net, dtype=dtype)
+    backbone, param = select_backbone(cfg.model.net, dtype=dtype,
+                                      remat=cfg.model.remat)
     return LinearClassifier(
         backbone=backbone,
         feature_size=param["feature_size"],
@@ -651,6 +652,8 @@ def main():
                             "retrieval"])
     # model / probe group
     p.add_argument("--net", default=None)
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize backbone activations in the backward pass")
     p.add_argument("--train_what", default=None, choices=[None, "ft", "last"])
     p.add_argument("--use_dropout", action="store_const", const=True, default=None)
     p.add_argument("--use_norm", dest="use_l2_norm", action="store_const",
@@ -662,6 +665,9 @@ def main():
                    choices=[None, "batch", "sample"],
                    help="color-jitter op-order granularity: 'sample' is the "
                         "reference-exact per-clip order (use for parity runs)")
+    p.add_argument("--fused_aug", default=None,
+                   choices=[None, "auto", "on", "off"],
+                   help="fused Pallas aug kernel (default auto: on for TPU)")
     # dataset group
     p.add_argument("--dataset", default=None)
     p.add_argument("--which_split", type=int, default=None)
@@ -703,8 +709,8 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         data=data,
-        aug=_override(cfg.aug, args, ("jitter_order",)),
-        model=_override(cfg.model, args, ("net",)),
+        aug=_override(cfg.aug, args, ("jitter_order", "fused_aug")),
+        model=_override(cfg.model, args, ("net", "remat")),
         optim=_override(
             dataclasses.replace(
                 cfg.optim,

@@ -353,11 +353,18 @@ def main():
     p.add_argument("--moco-t", dest="moco_t", type=float, default=None)
     p.add_argument("--moco_shuffle_bn", type=int, default=None,
                    help="BN batch-shuffle parity mode: number of BN groups")
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize backbone activations in the backward "
+                        "pass (numerics unchanged, ~1/3 more FLOPs, large "
+                        "activation-memory saving; fits r21d at B=64)")
     # aug group
     p.add_argument("--jitter_order", default=None,
                    choices=[None, "batch", "sample"],
                    help="color-jitter op-order granularity: 'sample' is the "
                         "reference-exact per-clip order (use for parity runs)")
+    p.add_argument("--fused_aug", default=None,
+                   choices=[None, "auto", "on", "off"],
+                   help="fused Pallas aug kernel (default auto: on for TPU)")
     # dataset group
     p.add_argument("--dataset", default=None)
     p.add_argument("--data_root", default=None)
@@ -395,12 +402,12 @@ def main():
         data = dataclasses.replace(data, synthetic=False)
     cfg = cfg.replace(
         data=data,
-        aug=_override(cfg.aug, args, ("jitter_order",)),
+        aug=_override(cfg.aug, args, ("jitter_order", "fused_aug")),
         model=_override(cfg.model, args,
                         ("net", "model", "mode", "n_series", "series_dim",
                          "shufflerank_theta", "series_T", "aligned_T",
                          "moco_dim", "moco_k", "moco_m", "moco_t",
-                         "moco_shuffle_bn")),
+                         "moco_shuffle_bn", "remat")),
         optim=_override(
             dataclasses.replace(
                 cfg.optim,

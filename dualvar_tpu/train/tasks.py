@@ -53,7 +53,7 @@ class SimCLRTask:
         if cfg.model == "simclr_naked":
             self.model = SimCLRNaked(
                 network=cfg.net, dim=cfg.moco_dim, temperature=cfg.moco_t,
-                dtype=_dtype(cfg),
+                dtype=_dtype(cfg), remat=cfg.remat,
             )
             self.n_views = 2
         else:
@@ -62,7 +62,7 @@ class SimCLRTask:
                 n_series=cfg.n_series, series_dim=cfg.series_dim,
                 series_T=cfg.series_T, aligned_T=cfg.aligned_T, mode=cfg.mode,
                 shufflerank_theta=cfg.shufflerank_theta,
-                dtw_gamma=cfg.dtw_gamma, dtype=_dtype(cfg),
+                dtw_gamma=cfg.dtw_gamma, dtype=_dtype(cfg), remat=cfg.remat,
             )
             self.n_views = 3
 
@@ -98,7 +98,7 @@ class MoCoTask:
         self.encoder = MoCoEncoder(
             network=cfg.net, dim=cfg.moco_dim, n_series=cfg.n_series,
             series_dim=cfg.series_dim, with_series=not self.naked,
-            dtype=_dtype(cfg),
+            dtype=_dtype(cfg), remat=cfg.remat,
         )
 
     def init(self, rng: jax.Array, example_block: jax.Array) -> TaskState:
