@@ -65,6 +65,11 @@ def select_backbone(network: str, dtype=jnp.float32, remat: bool = False):
         return cls(R3DNet)(dtype=dtype), {"feature_size": 512}
     if network == "r21d":
         return cls(R2Plus1DNet)(dtype=dtype), {"feature_size": 512}
+    if network == "r21d_tiled":
+        # TPU-native variant (NOT reference parity): (2+1)D mid widths
+        # snapped to 128-lane tiles; see r21d.intermed_channels
+        return cls(R2Plus1DNet)(dtype=dtype, mid_mode="tile128"), {
+            "feature_size": 512}
     if network == "r2d3d18":
         return cls(ResNet2d3d)(
             blocks=[("basic", False)] * 4, layers=(2, 2, 2, 2), dtype=dtype,

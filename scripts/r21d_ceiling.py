@@ -38,7 +38,8 @@ def conv_flops(n, t, h, w, cin, cout, kt, kh, kw, st=1, sh=1, sw=1):
     return 2 * n * to * ho * wo * cout * cin * kt * kh * kw, (to, ho, wo)
 
 
-def r21d_stage_table(n_clips: int, T: int = 16, S: int = 112):
+def r21d_stage_table(n_clips: int, T: int = 16, S: int = 112,
+                     mid_mode: str = "formula"):
     """Per-stage (name, fwd_flops, act_elems, padded_act_elems) for r21d
     with layer_sizes (1,1,1,1) — two SpatioTemporalConvs per block plus the
     stride-2 downsample convs, mirroring backbone/r21d.py."""
@@ -48,7 +49,7 @@ def r21d_stage_table(n_clips: int, T: int = 16, S: int = 112):
     def st_conv(name, cin, cout, ks, stride):
         kt, kh, kw = ks
         stt, sth, stw = stride
-        mid = intermed_channels(cin, cout, ks)
+        mid = intermed_channels(cin, cout, ks, mid_mode)
         # spatial (1,kh,kw) at spatial stride, then temporal (kt,1,1)
         f1, (t1, h1, w1) = conv_flops(
             n_clips, shapes["t"], shapes["h"], shapes["w"], cin, mid,
@@ -80,9 +81,9 @@ def r21d_stage_table(n_clips: int, T: int = 16, S: int = 112):
     return rows
 
 
-def analytic(B: int):
+def analytic(B: int, mid_mode: str = "formula"):
     n_clips = B * 3  # 3 views
-    rows = r21d_stage_table(n_clips)
+    rows = r21d_stage_table(n_clips, mid_mode=mid_mode)
     fwd = sum(r[1] for r in rows)
     act = sum(r[2] for r in rows)
     act_pad = sum(r[3] for r in rows)
@@ -104,7 +105,7 @@ def analytic(B: int):
     return step_flops
 
 
-def measure(B: int, remat: bool):
+def measure(B: int, remat: bool, net: str = "r21d"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -116,7 +117,7 @@ def measure(B: int, remat: bool):
     from dualvar_tpu.core.config import ModelConfig
 
     T, H0, W0, img = 16, 171, 128, 112
-    cfg = ModelConfig(net="r21d", model="simclr_timeseriesv4",
+    cfg = ModelConfig(net=net, model="simclr_timeseriesv4",
                       dtype="bfloat16", remat=remat)
     task = make_task(cfg)
     aug_cfg = AugConfig(img_dim=img, seq_len=T, fused="auto")
@@ -167,9 +168,10 @@ def measure(B: int, remat: bool):
         _ = float(loss)
         dts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
     ms = min(dts) / n * 1e3
-    step_flops = analytic(B)
+    step_flops = analytic(
+        B, "tile128" if net == "r21d_tiled" else "formula")
     mfu = step_flops / (ms / 1e3) / 197e12 * 100
-    print(f"B={B} remat={remat}: {ms:.1f} ms/step, "
+    print(f"B={B} net={net} remat={remat}: {ms:.1f} ms/step, "
           f"{B * 3 / (ms / 1e3):.1f} clips/s, MFU {mfu:.1f}%")
 
 
@@ -178,8 +180,12 @@ if __name__ == "__main__":
     ap.add_argument("--measure", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("-B", type=int, default=32)
+    ap.add_argument("--mid_mode", default="formula",
+                    choices=["formula", "tile128"])
+    ap.add_argument("--net", default="r21d",
+                    choices=["r21d", "r21d_tiled"])
     args = ap.parse_args()
     if args.measure:
-        measure(args.B, args.remat)
+        measure(args.B, args.remat, args.net)
     else:
-        analytic(args.B)
+        analytic(args.B, args.mid_mode)

@@ -73,3 +73,30 @@ def test_r3d_s2d_stem_equivalent():
 
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_r21d_tiled_variant():
+    """TPU-native r21d variant: (2+1)D mid widths snapped to 128-lane
+    tiles (NOT reference parity; see r21d.intermed_channels). Parameter
+    budget stays within 5% of the paper formula."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualvar_tpu.models.backbones import select_backbone
+    from dualvar_tpu.models.backbones.r21d import intermed_channels
+
+    assert intermed_channels(3, 64, (3, 7, 7), "tile128") == 128
+    assert intermed_channels(64, 64, (3, 3, 3), "tile128") == 128
+    assert intermed_channels(256, 512, (3, 3, 3), "tile128") == 896
+
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    tiled, meta = select_backbone("r21d_tiled", jnp.float32)
+    assert meta["feature_size"] == 512
+    v = tiled.init(jax.random.PRNGKey(0), x, True)
+    ref, _ = select_backbone("r21d", jnp.float32)
+    v2 = ref.init(jax.random.PRNGKey(0), x, True)
+    n_tiled = sum(a.size for a in jax.tree.leaves(v["params"]))
+    n_ref = sum(a.size for a in jax.tree.leaves(v2["params"]))
+    assert abs(n_tiled / n_ref - 1) < 0.05, (n_tiled, n_ref)
+    out, _ = tiled.apply(v, x, True, mutable=["batch_stats"])
+    assert out.shape == (1, 1, 2, 2, 512)
