@@ -368,7 +368,12 @@ def _use_fused(cfg: AugConfig) -> bool:
         # lower; they stay on the unfused path
         return False
     if cfg.fused == "auto":
-        return jax.default_backend() == "tpu"
+        # single-device only on 'auto': a pallas_call inside jit has no
+        # SPMD partitioning rule, so a batch-sharded multi-chip step could
+        # silently replicate the global batch per chip (numerics fine,
+        # perf/memory not). Force 'on' after wrapping in shard_map if a
+        # multi-chip deployment wants the fused path.
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     return cfg.fused == "on"
 
 
