@@ -156,6 +156,33 @@ def softdtw_device_check() -> dict:
         return {"softdtw_check": {"error": repr(e)}}
 
 
+def aug_fused_device_check() -> dict:
+    """Re-verify the fused aug kernel against the unfused pipeline on the
+    actual device (same pattern as the soft-DTW check): same key => same
+    random decisions, so outputs must agree to f32 chain tolerance."""
+    try:
+        from dualvar_tpu.aug.pipeline import (AugConfig,
+                                              _pretrain_batch_unfused,
+                                              pretrain_batch_fused)
+        frames = jax.device_put(np.random.default_rng(3).integers(
+            0, 255, (8, 2 * 16, 171, 128, 3), dtype=np.uint8))
+        key = jax.random.PRNGKey(5)
+        cfg = dict(img_dim=112, seq_len=16, fused_compute="float32")
+        fused = pretrain_batch_fused(key, frames,
+                                     AugConfig(**cfg, fused="on"))
+        ref = _pretrain_batch_unfused(key, frames,
+                                      AugConfig(**cfg, fused="off"))
+        # the unfused TPU blur einsum runs bf16 MXU operands (default
+        # precision); the kernel blur is f32-exact, so blurred clips carry
+        # that operand-rounding difference (~5e-2 max in normalized space)
+        err = float(jnp.max(jnp.abs(fused - ref)))
+        log(f"fused aug vs unfused on device: max err {err:.2e}")
+        return {"aug_fused_check": {"max_err": err, "ok": err < 0.2}}
+    except Exception as e:  # never let the check sink the bench metric
+        log("fused aug device check failed to run:", repr(e))
+        return {"aug_fused_check": {"error": repr(e)}}
+
+
 def main():
     from dualvar_tpu.aug.pipeline import AugConfig
     from dualvar_tpu.models.ssl.simclr import SimCLRNaked
@@ -163,6 +190,7 @@ def main():
     import dualvar_tpu.aug.pipeline as P
 
     softdtw_info = softdtw_device_check()
+    aug_info = aug_fused_device_check()
 
     B, T, H0, W0 = 128, 16, 171, 128
     img = 112
@@ -300,6 +328,7 @@ def main():
         "vs_baseline": round(clips_per_sec / a100_est, 3)
         if a100_est == a100_est else None,
         **softdtw_info,
+        **aug_info,
     }))
 
 

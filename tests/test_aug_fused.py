@@ -120,3 +120,19 @@ def test_dispatch_respects_cfg():
     auto = pretrain_batch(key, frames, AugConfig(img_dim=SIZE, seq_len=T,
                                                  fused="auto"))
     np.testing.assert_array_equal(np.asarray(off), np.asarray(auto))
+
+
+def test_fused_on_tpu_hardware():
+    """Hardware (non-interpret) kernel vs the unfused pipeline — the
+    Mosaic-compiled path. Skipped off-TPU; bench.py re-runs this check on
+    every benched round (aug_fused_check in the JSON)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a TPU; covered on-hardware by bench.py")
+    frames = _frames(9)
+    key = jax.random.PRNGKey(17)
+    cfg = dict(img_dim=SIZE, seq_len=T, fused_compute="float32")
+    fused = pretrain_batch_fused(key, frames, AugConfig(**cfg, fused="on"))
+    ref = _pretrain_batch_unfused(key, frames, AugConfig(**cfg, fused="off"))
+    # the unfused TPU blur einsum uses bf16 MXU operands; the kernel blur
+    # is f32-exact — blurred clips differ by that operand rounding
+    assert float(jnp.max(jnp.abs(fused - ref))) < 0.2
