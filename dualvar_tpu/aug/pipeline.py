@@ -259,9 +259,9 @@ def _draw_clip_params(key: Array, cfg: AugConfig, use_aug, H0: int, W0: int,
             factors, jnp.stack([sigma, blur_on.astype(jnp.float32)]))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def pretrain_batch_fused(key: Array, frames_u8: Array,
-                         cfg: AugConfig) -> Array:
+@partial(jax.jit, static_argnames=("cfg", "mesh", "data_axis"))
+def pretrain_batch_fused(key: Array, frames_u8: Array, cfg: AugConfig,
+                         mesh=None, data_axis: str = "data") -> Array:
     """Fused-kernel variant of ``pretrain_batch``: all randomness drawn here
     (mirroring the unfused key splits), the whole crop->jitter->blur->
     normalize chain in one Pallas pass (ops/aug_fused.py)."""
@@ -304,11 +304,15 @@ def pretrain_batch_fused(key: Array, frames_u8: Array,
     # consistent mode: all T entries of each factor row are one broadcast
     # draw — pass the scalars (the kernel requires clip-consistent factors)
     assert cfg.jitter_mode == "consistent", cfg.jitter_mode
-    out = aug_fused(
+    call = (partial(aug_fused, out_dtype=jnp.dtype(cfg.out_dtype),
+                    compute_dtype=jnp.dtype(cfg.fused_compute))
+            if mesh is None else
+            partial(_sharded_aug_fused(mesh, data_axis),
+                    out_dtype=jnp.dtype(cfg.out_dtype),
+                    compute_dtype=jnp.dtype(cfg.fused_compute)))
+    out = call(
         planar, orders.reshape(B * V, 4),
-        factors[..., 0].reshape(B * V, 4), blurs.reshape(B * V, 2),
-        out_dtype=jnp.dtype(cfg.out_dtype),
-        compute_dtype=jnp.dtype(cfg.fused_compute))
+        factors[..., 0].reshape(B * V, 4), blurs.reshape(B * V, 2))
     d = cfg.img_dim
     return out.reshape(B, V, C, T, d, d).transpose(0, 1, 3, 4, 5, 2)
 
@@ -362,27 +366,59 @@ def classifier_train_batch_fused(key: Array, frames_u8: Array,
     return out.transpose(0, 2, 3, 4, 1)
 
 
-def _use_fused(cfg: AugConfig) -> bool:
+def _sharded_aug_fused(mesh, axis: str):
+    """shard_map wrapper for the fused kernel: a pallas_call inside jit has
+    no SPMD partitioning rule, so without this a batch-sharded multi-chip
+    step would replicate the global batch onto every chip. The parameter
+    draws happen OUTSIDE (plain jnp, partitioned by XLA); only the kernel
+    call itself maps, with every operand batch-sharded on dim 0."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.aug_fused import aug_fused
+
+    spec = P(axis)
+
+    def call(clips, orders, factors, blurs, *, out_dtype, compute_dtype):
+        fn = shard_map(
+            partial(aug_fused, out_dtype=out_dtype,
+                    compute_dtype=compute_dtype),
+            mesh=mesh, in_specs=(spec, spec, spec, spec), out_specs=spec,
+            # pallas_call's out_shape carries no varying-across-mesh info
+            check_vma=False)
+        return fn(clips, orders, factors, blurs)
+
+    return call
+
+
+def _use_fused(cfg: AugConfig, mesh=None) -> bool:
     if cfg.jitter_mode != "consistent":
         # per-frame factor modes need a lane->batch relayout Mosaic cannot
         # lower; they stay on the unfused path
         return False
     if cfg.fused == "auto":
-        # single-device only on 'auto': a pallas_call inside jit has no
-        # SPMD partitioning rule, so a batch-sharded multi-chip step could
-        # silently replicate the global batch per chip (numerics fine,
-        # perf/memory not). Force 'on' after wrapping in shard_map if a
-        # multi-chip deployment wants the fused path.
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        # multi-device needs the shard_map wrapper (callers pass the mesh;
+        # see _sharded_aug_fused for why): without one, 'auto' falls back
+        # to the unfused path rather than silently replicating the batch
+        return jax.default_backend() == "tpu" and (
+            mesh is not None or jax.device_count() == 1)
     return cfg.fused == "on"
 
 
 # batched, jitted entry points --------------------------------------------
 
-def pretrain_batch(key: Array, frames_u8: Array, cfg: AugConfig) -> Array:
-    """(B, n_views*T, H0, W0, C) uint8 -> (B, n_views, T, d, d, C)."""
-    if _use_fused(cfg):
-        return pretrain_batch_fused(key, frames_u8, cfg)
+def pretrain_batch(key: Array, frames_u8: Array, cfg: AugConfig,
+                   mesh=None, data_axis: str = "data") -> Array:
+    """(B, n_views*T, H0, W0, C) uint8 -> (B, n_views, T, d, d, C).
+
+    ``mesh``: pass the step's device mesh when running batch-sharded on
+    more than one device so the fused kernel maps over shards (see
+    _sharded_aug_fused); without it 'auto' stays unfused off single-chip.
+    """
+    if mesh is not None and mesh.devices.size <= 1:
+        mesh = None
+    if _use_fused(cfg, mesh):
+        return pretrain_batch_fused(key, frames_u8, cfg, mesh, data_axis)
     return _pretrain_batch_unfused(key, frames_u8, cfg)
 
 

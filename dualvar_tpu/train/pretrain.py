@@ -87,10 +87,13 @@ def compute_metrics(ret: dict[str, jax.Array]) -> dict[str, jax.Array]:
     return metrics
 
 
-def make_train_step(task, tx, aug_cfg: AugConfig):
+def make_train_step(task, tx, aug_cfg: AugConfig, mesh=None):
+    """``mesh``: the step's device mesh — needed for the fused aug kernel
+    to map over batch shards on multi-device runs (aug/pipeline.py
+    _sharded_aug_fused)."""
     def train_step(state: TrainState, frames_u8: jax.Array, key: jax.Array):
         k_aug, k_shuffle = jax.random.split(jax.random.fold_in(key, state.step))
-        block = pretrain_batch(k_aug, frames_u8, aug_cfg)
+        block = pretrain_batch(k_aug, frames_u8, aug_cfg, mesh=mesh)
         if task.n_views == 2:
             block = block[:, :2]
 
@@ -214,7 +217,7 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
     # replicate state, shard batches
     state = jax.device_put(state, replicated(mesh))
     train_step = jax.jit(
-        make_train_step(task, tx, aug_cfg), donate_argnums=(0,),
+        make_train_step(task, tx, aug_cfg, mesh=mesh), donate_argnums=(0,),
         out_shardings=(replicated(mesh), replicated(mesh)),
     )
 

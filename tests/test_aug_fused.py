@@ -136,3 +136,28 @@ def test_fused_on_tpu_hardware():
     # the unfused TPU blur einsum uses bf16 MXU operands; the kernel blur
     # is f32-exact — blurred clips differ by that operand rounding
     assert float(jnp.max(jnp.abs(fused - ref))) < 0.2
+
+
+def test_fused_sharded_matches_single_device():
+    """The shard_map-wrapped fused kernel on the 8-virtual-device CPU mesh
+    must reproduce the unsharded fused output bitwise (same key => same
+    per-sample draws; the kernel itself is per-clip)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dualvar_tpu.core.mesh import make_mesh
+
+    rng = np.random.default_rng(21)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (8, V * T, H0, W0, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(23)
+    cfg = AugConfig(img_dim=SIZE, seq_len=T, fused="on",
+                    fused_compute="float32")
+    single = pretrain_batch_fused(key, frames, cfg)
+
+    mesh = make_mesh()
+    fs = jax.device_put(frames, NamedSharding(mesh, P("data")))
+    sharded = jax.jit(
+        lambda k, f: pretrain_batch_fused(k, f, cfg, mesh, "data"),
+        out_shardings=NamedSharding(mesh, P()),
+    )(key, fs)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
