@@ -317,9 +317,10 @@ def pretrain_batch_fused(key: Array, frames_u8: Array, cfg: AugConfig,
     return out.reshape(B, V, C, T, d, d).transpose(0, 1, 3, 4, 5, 2)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "mesh", "data_axis"))
 def classifier_train_batch_fused(key: Array, frames_u8: Array,
-                                 cfg: AugConfig) -> Array:
+                                 cfg: AugConfig, mesh=None,
+                                 data_axis: str = "data") -> Array:
     """Fused-kernel variant of ``classifier_train_batch`` (crop ->
     [whole-clip flip] -> [consistent jitter p=.8] -> normalize, no blur),
     with randomness drawn via the unfused path's exact key splits."""
@@ -358,11 +359,15 @@ def classifier_train_batch_fused(key: Array, frames_u8: Array,
         return jnp.where(do_flip, c[:, :, ::-1, :], c)
 
     cropped = jax.vmap(crop_one)(frames_u8, crops, flips)
-    out = aug_fused(
+    call = (partial(aug_fused, out_dtype=jnp.dtype(cfg.out_dtype),
+                    compute_dtype=jnp.dtype(cfg.fused_compute))
+            if mesh is None else
+            partial(_sharded_aug_fused(mesh, data_axis),
+                    out_dtype=jnp.dtype(cfg.out_dtype),
+                    compute_dtype=jnp.dtype(cfg.fused_compute)))
+    out = call(
         cropped.transpose(0, 4, 1, 2, 3), orders, factors,
-        jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (B, 1)),
-        out_dtype=jnp.dtype(cfg.out_dtype),
-        compute_dtype=jnp.dtype(cfg.fused_compute))
+        jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (B, 1)))
     return out.transpose(0, 2, 3, 4, 1)
 
 
@@ -437,14 +442,19 @@ def _pretrain_batch_unfused(key: Array, frames_u8: Array,
         lambda k, f: pretrain_sample(k, f, cfg, orders))(keys, frames_u8)
 
 
-def classifier_train_batch(key: Array, frames_u8: Array,
-                           cfg: AugConfig) -> Array:
+def classifier_train_batch(key: Array, frames_u8: Array, cfg: AugConfig,
+                           mesh=None, data_axis: str = "data") -> Array:
     # the classifier pipeline always jitters clip-consistently
     # (classifier.py:1007-1020), so the fused kernel applies regardless of
     # the pretrain jitter mode flags
-    if cfg.fused == "on" or (cfg.fused == "auto"
-                             and jax.default_backend() == "tpu"):
-        return classifier_train_batch_fused(key, frames_u8, cfg)
+    if mesh is not None and mesh.devices.size <= 1:
+        mesh = None
+    use = (cfg.fused == "on"
+           or (cfg.fused == "auto" and jax.default_backend() == "tpu"
+               and (mesh is not None or jax.device_count() == 1)))
+    if use:
+        return classifier_train_batch_fused(key, frames_u8, cfg, mesh,
+                                            data_axis)
     return _classifier_train_batch_unfused(key, frames_u8, cfg)
 
 

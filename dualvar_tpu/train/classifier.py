@@ -97,12 +97,12 @@ def make_optimizer(cfg: ClassifierConfig, steps_per_epoch: int):
 
 
 def make_train_step(model: LinearClassifier, tx, aug_cfg: AugConfig,
-                    train_what: str):
+                    train_what: str, mesh=None):
     freeze_backbone = train_what == "last"
 
     def train_step(state: TrainState, frames_u8, labels, key):
         k_aug, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
-        clips = classifier_train_batch(k_aug, frames_u8, aug_cfg)
+        clips = classifier_train_batch(k_aug, frames_u8, aug_cfg, mesh=mesh)
 
         # linear probe: backbone frozen AND BN fully in inference mode
         # (reference model.eval() when train_what == 'last', classifier.py:435-438)
@@ -289,7 +289,7 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
     state = init_state(cfg, model, tx, rng, logger)
     state = jax.device_put(state, replicated(mesh))
     train_step = jax.jit(
-        make_train_step(model, tx, aug_cfg, cfg.train_what),
+        make_train_step(model, tx, aug_cfg, cfg.train_what, mesh=mesh),
         donate_argnums=(0,),
         out_shardings=(replicated(mesh), replicated(mesh)),
     )
