@@ -1,15 +1,16 @@
 """Fused on-device augmentation kernel.
 
-One Pallas program per clip runs the whole post-decode augmentation chain
-in a single VMEM residency: uint8 -> float, random crop, the four color
-jitter ops in a random order, gated separable Gaussian blur, and channel
-normalisation, writing the model-input dtype. The unfused jnp pipeline
+One Pallas program per clip runs the post-crop augmentation chain in a
+single VMEM residency: uint8 -> float, the four color jitter ops in a
+random order, gated separable Gaussian blur, and channel normalisation,
+writing the model-input dtype. (The random crop itself stays an XLA
+dynamic_slice on uint8 OUTSIDE the kernel — see _aug_kernel.) The unfused jnp pipeline
 (`aug/functional.py` + `aug/pipeline.py`) materializes each stage to HBM
 (~8-10 full-tensor passes, measured ~34 ms at B=128x2 views on v5e against
 a ~1 ms bandwidth floor); here the chain reads the uint8 frames once and
 writes the output once.
 
-Layout: channels are planar, (N, 3, T, H0, W0), so each (T, H, W) plane
+Layout: channels are planar, (N, 3, T, size, size), so each (T, H, W) plane
 puts W on the lane axis — channel mixes (grayscale, HSV) are plain
 elementwise ops across three resident planes instead of stride-3 lane
 gathers. The blur is two banded (W_out x W_out) matmuls on the MXU with

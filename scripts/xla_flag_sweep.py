@@ -37,6 +37,12 @@ SWEEP: list[tuple[str, dict[str, str]]] = [
     ("licm_inflation", {"xla_tpu_licm_size_inflation_ratio": "2"}),
     ("no_experimental_fusion",
      {"xla_tpu_use_experimental_fusion_decisions": "false"}),
+    ("latency_hiding_sched",
+     {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("dot_strength_reduction_off",
+     {"xla_tpu_enable_dot_strength_reduction": "false"}),
+    ("experimental_fusion_cost",
+     {"xla_tpu_use_experimental_fusion_cost_model": "true"}),
 ]
 
 
