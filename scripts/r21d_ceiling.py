@@ -152,6 +152,13 @@ def measure(B: int, remat: bool, net: str = "r21d"):
     params, bs, st, loss = step(tstate.params, tstate.batch_stats,
                                 opt_state, frames, key)
     print(f"compiled in {time.perf_counter()-t0:.0f}s; loss {float(loss):.3f}")
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use", 0)
+        lim = stats.get("bytes_limit", 0)
+        print(f"device memory: peak {peak/1e9:.2f} GB / limit {lim/1e9:.2f} GB")
+    except Exception as e:
+        print("memory_stats unavailable:", repr(e))
 
     rtts = []
     for i in range(3):
