@@ -50,9 +50,10 @@ class AugConfig:
     # extra cost (the op-order switch index is a kernel scalar).
     fused: str = "off"
     # in-kernel compute dtype for the fused path; 'float32' matches the
-    # unfused pipeline to ~1e-5. 'bfloat16' would halve the VMEM-bandwidth-
-    # bound jitter cost but only runs in interpret mode today (Mosaic
-    # cannot lower bf16 vector compares); kept for when it can.
+    # unfused pipeline to ~1e-5. 'bfloat16' halves the VMEM-bandwidth-bound
+    # blend-op cost (hue internally stays f32 — Mosaic cannot lower
+    # packed-bf16 vector compares, and the sector selects are where bf16
+    # rounding bites); experimental until re-measured on hardware.
     fused_compute: str = "float32"
 
     @property

@@ -98,6 +98,11 @@ def _jitter_ops(f):
         return tuple(_blend(x, gray, fs) for x in rgb)
 
     def hue(rgb):
+        # hue runs in f32 even in bf16 compute mode: Mosaic cannot lower
+        # packed-bf16 vector compares (the sector selects below), and the
+        # sector boundaries are exactly where bf16 rounding flips pixels
+        out_dt = rgb[0].dtype
+        rgb = tuple(x.astype(jnp.float32) for x in rgb)
         fh = fac(3, rgb[0])
         r, g, b = rgb
         maxc = jnp.maximum(jnp.maximum(r, g), b)
@@ -120,7 +125,8 @@ def _jitter_ops(f):
 
         def chan(n):
             k = jnp.mod(n + h6, 6.0)
-            return maxc - vs * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+            return (maxc - vs * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+                    ).astype(out_dt)
 
         return chan(5.0), chan(3.0), chan(1.0)
 
@@ -216,14 +222,14 @@ def aug_fused(clips_u8: Array, orders: Array, factors: Array,
               clip-consistent scalars, identity-folded for no-apply clips
     blur:     (N, 2) float32 (sigma, on>0)
     compute_dtype: in-kernel plane dtype. The jitter chain is VMEM-
-              bandwidth-bound (~70 elementwise passes), so bfloat16 would
-              halve its cost — but this stack's Mosaic cannot lower bf16
-              vector compares (hue's sector selects) or broadcasts from
-              packed bf16 slices, so bfloat16 currently only works in
-              interpret mode and float32 is the TPU default. float32
+              bandwidth-bound (~70 elementwise passes); bfloat16 halves
+              the blend-op cost. Hue, contrast means and blur matmuls
+              compute in f32 in both modes (Mosaic cannot lower
+              packed-bf16 vector compares, and hue's sector selects are
+              also where bf16 rounding flips pixels). float32 (default)
               matches the unfused pipeline to ~1e-5 (the exactness tests
-              pin this). Contrast means and blur matmuls accumulate in f32
-              in both modes.
+              pin this); bfloat16 is experimental pending hardware
+              re-measurement.
     Returns (N, 3, T, size, size) ``out_dtype``, normalised.
     """
     N, C, T, size, size2 = clips_u8.shape
