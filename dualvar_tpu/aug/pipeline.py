@@ -306,11 +306,13 @@ def pretrain_batch_fused(key: Array, frames_u8: Array, cfg: AugConfig,
     # draw — pass the scalars (the kernel requires clip-consistent factors)
     assert cfg.jitter_mode == "consistent", cfg.jitter_mode
     call = (partial(aug_fused, out_dtype=jnp.dtype(cfg.out_dtype),
-                    compute_dtype=jnp.dtype(cfg.fused_compute))
+                    compute_dtype=jnp.dtype(cfg.fused_compute),
+                    normalize=cfg.normalize)
             if mesh is None else
             partial(_sharded_aug_fused(mesh, data_axis),
                     out_dtype=jnp.dtype(cfg.out_dtype),
-                    compute_dtype=jnp.dtype(cfg.fused_compute)))
+                    compute_dtype=jnp.dtype(cfg.fused_compute),
+                    normalize=cfg.normalize))
     out = call(
         planar, orders.reshape(B * V, 4),
         factors[..., 0].reshape(B * V, 4), blurs.reshape(B * V, 2))
@@ -361,11 +363,13 @@ def classifier_train_batch_fused(key: Array, frames_u8: Array,
 
     cropped = jax.vmap(crop_one)(frames_u8, crops, flips)
     call = (partial(aug_fused, out_dtype=jnp.dtype(cfg.out_dtype),
-                    compute_dtype=jnp.dtype(cfg.fused_compute))
+                    compute_dtype=jnp.dtype(cfg.fused_compute),
+                    normalize=cfg.normalize)
             if mesh is None else
             partial(_sharded_aug_fused(mesh, data_axis),
                     out_dtype=jnp.dtype(cfg.out_dtype),
-                    compute_dtype=jnp.dtype(cfg.fused_compute)))
+                    compute_dtype=jnp.dtype(cfg.fused_compute),
+                    normalize=cfg.normalize))
     out = call(
         cropped.transpose(0, 4, 1, 2, 3), orders, factors,
         jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (B, 1)))
@@ -385,10 +389,11 @@ def _sharded_aug_fused(mesh, axis: str):
 
     spec = P(axis)
 
-    def call(clips, orders, factors, blurs, *, out_dtype, compute_dtype):
+    def call(clips, orders, factors, blurs, *, out_dtype, compute_dtype,
+             normalize=True):
         fn = shard_map(
             partial(aug_fused, out_dtype=out_dtype,
-                    compute_dtype=compute_dtype),
+                    compute_dtype=compute_dtype, normalize=normalize),
             mesh=mesh, in_specs=(spec, spec, spec, spec), out_specs=spec,
             # pallas_call's out_shape carries no varying-across-mesh info
             check_vma=False)
@@ -397,10 +402,18 @@ def _sharded_aug_fused(mesh, axis: str):
     return call
 
 
-def _use_fused(cfg: AugConfig, mesh=None) -> bool:
-    if cfg.jitter_mode != "consistent":
+def _use_fused(cfg: AugConfig, mesh=None, check_jitter_mode=True) -> bool:
+    """Single source of truth for the fused-vs-unfused dispatch (the
+    classifier passes check_jitter_mode=False: its pipeline always jitters
+    clip-consistently regardless of the pretrain mode flags)."""
+    if check_jitter_mode and cfg.jitter_mode != "consistent":
         # per-frame factor modes need a lane->batch relayout Mosaic cannot
         # lower; they stay on the unfused path
+        if cfg.fused == "on":
+            raise ValueError(
+                "fused='on' requires clip-consistent jitter "
+                f"(jitter_mode={cfg.jitter_mode!r}); use fused='auto'/'off' "
+                "for per-frame factor modes")
         return False
     if cfg.fused == "auto":
         # multi-device needs the shard_map wrapper (callers pass the mesh;
@@ -450,10 +463,7 @@ def classifier_train_batch(key: Array, frames_u8: Array, cfg: AugConfig,
     # the pretrain jitter mode flags
     if mesh is not None and mesh.devices.size <= 1:
         mesh = None
-    use = (cfg.fused == "on"
-           or (cfg.fused == "auto" and jax.default_backend() == "tpu"
-               and (mesh is not None or jax.device_count() == 1)))
-    if use:
+    if _use_fused(cfg, mesh, check_jitter_mode=False):
         return classifier_train_batch_fused(key, frames_u8, cfg, mesh,
                                             data_axis)
     return _classifier_train_batch_unfused(key, frames_u8, cfg)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from .c3d import C3D
 from .r3d import R3DNet
 from .r21d import R2Plus1DNet
-from .resnet_2d3d import ResNet2d3d, r2d3d18, r2d3d50
+from .resnet_2d3d import (R2D3D18_SPEC, R2D3D50_SPEC, ResNet2d3d,
+                          r2d3d18, r2d3d50)
 from .s3dg import S3D
 
 __all__ = [
@@ -71,13 +72,9 @@ def select_backbone(network: str, dtype=jnp.float32, remat: bool = False):
         return cls(R2Plus1DNet)(dtype=dtype, mid_mode="tile128"), {
             "feature_size": 512}
     if network == "r2d3d18":
-        return cls(ResNet2d3d)(
-            blocks=[("basic", False)] * 4, layers=(2, 2, 2, 2), dtype=dtype,
-        ), {"feature_size": 256}
+        return cls(ResNet2d3d)(**R2D3D18_SPEC, dtype=dtype), {
+            "feature_size": 256}
     if network == "r50":
-        return cls(ResNet2d3d)(
-            blocks=[("bottleneck", False), ("bottleneck", False),
-                    ("bottleneck", True), ("bottleneck", True)],
-            layers=(3, 4, 6, 3), dtype=dtype,
-        ), {"feature_size": 1024}
+        return cls(ResNet2d3d)(**R2D3D50_SPEC, dtype=dtype), {
+            "feature_size": 1024}
     raise NotImplementedError(f"unknown backbone {network!r}")

@@ -149,18 +149,21 @@ class ResNet2d3d(nn.Module):
         return x
 
 
+# single source of truth for the two published configs (select_backbone
+# instantiates them through an optional nn.remat wrapper)
+R2D3D18_SPEC = dict(blocks=[("basic", False)] * 4, layers=(2, 2, 2, 2))
+R2D3D50_SPEC = dict(
+    blocks=[("bottleneck", False), ("bottleneck", False),
+            ("bottleneck", True), ("bottleneck", True)],
+    layers=(3, 4, 6, 3),
+)
+
+
 def r2d3d18(dtype=jnp.float32) -> ResNet2d3d:
     """All-BasicBlock2d, layers [2,2,2,2] (reference :352-356); 256-ch output."""
-    return ResNet2d3d(
-        blocks=[("basic", False)] * 4, layers=(2, 2, 2, 2), dtype=dtype
-    )
+    return ResNet2d3d(**R2D3D18_SPEC, dtype=dtype)
 
 
 def r2d3d50(dtype=jnp.float32) -> ResNet2d3d:
     """Bottleneck2d x2 + Bottleneck3d x2, layers [3,4,6,3] (reference :345-349)."""
-    return ResNet2d3d(
-        blocks=[("bottleneck", False), ("bottleneck", False),
-                ("bottleneck", True), ("bottleneck", True)],
-        layers=(3, 4, 6, 3),
-        dtype=dtype,
-    )
+    return ResNet2d3d(**R2D3D50_SPEC, dtype=dtype)

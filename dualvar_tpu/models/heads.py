@@ -74,7 +74,8 @@ class LinearClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat3d = self.backbone(x, train=train)
+        # positional call: nn.remat's static_argnums are positional indices
+        feat3d = self.backbone(x, train)
         feat = global_avg_pool3d(feat3d).astype(jnp.float32)  # (B, C)
         if self.use_l2_norm:
             feat = l2_normalize(feat, axis=1)

@@ -150,7 +150,8 @@ def _band_matrix(sigma, n):
     return m
 
 
-def _aug_kernel(orders, frames, factors, blurp, out, *, out_compute):
+def _aug_kernel(orders, frames, factors, blurp, out, *, out_compute,
+                normalize):
     """One program = one clip. See module docstring for the layout.
 
     The random crop happens OUTSIDE the kernel (an XLA dynamic_slice on the
@@ -203,16 +204,20 @@ def _aug_kernel(orders, frames, factors, blurp, out, *, out_compute):
     rgb = jax.lax.cond(blur_on, blurred, lambda rgb: rgb, rgb)
 
     for c in range(3):
-        scale = 1.0 / IMAGENET_STD[c]
-        bias = -IMAGENET_MEAN[c] / IMAGENET_STD[c]
-        out[0, c] = (rgb[c] * scale + bias).astype(out.dtype)
+        if normalize:
+            scale = 1.0 / IMAGENET_STD[c]
+            bias = -IMAGENET_MEAN[c] / IMAGENET_STD[c]
+            out[0, c] = (rgb[c] * scale + bias).astype(out.dtype)
+        else:
+            out[0, c] = rgb[c].astype(out.dtype)
 
 
 @partial(jax.jit,
-         static_argnames=("out_dtype", "compute_dtype", "interpret"))
+         static_argnames=("out_dtype", "compute_dtype", "normalize",
+                          "interpret"))
 def aug_fused(clips_u8: Array, orders: Array, factors: Array,
               blur: Array, *, out_dtype=jnp.float32,
-              compute_dtype=jnp.float32,
+              compute_dtype=jnp.float32, normalize: bool = True,
               interpret: bool | None = None) -> Array:
     """Run the fused augmentation chain on pre-cropped clips.
 
@@ -251,7 +256,8 @@ def aug_fused(clips_u8: Array, orders: Array, factors: Array,
                                lambda i, *_: (i, 0, 0, 0, 0)),
     )
     return pl.pallas_call(
-        partial(_aug_kernel, out_compute=jnp.dtype(compute_dtype)),
+        partial(_aug_kernel, out_compute=jnp.dtype(compute_dtype),
+                normalize=normalize),
         out_shape=jax.ShapeDtypeStruct((N, 3, T, size, size), out_dtype),
         grid_spec=grid_spec,
         # the resident set (u8 in + f32 out blocks, both double-buffered,

@@ -13,7 +13,6 @@ from __future__ import annotations
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,47 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _timing import timeit  # shared RTT-corrected timing
 from dualvar_tpu.aug import functional as F
 from dualvar_tpu.aug.pipeline import AugConfig, pretrain_batch
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def _barrier(out):
-    """Hard barrier that works through the axon relay (block_until_ready is
-    unreliable there; a host transfer is the only real sync — see bench.py).
-    The TPU runs programs serially, so syncing on the last dispatch's output
-    transitively waits for all of them."""
-    leaf = jax.tree.leaves(out)[0]
-    return float(jnp.sum(leaf[(0,) * (leaf.ndim - 1)][:1].astype(jnp.float32)))
-
-
-def _rtt():
-    vals = []
-    x = jnp.zeros((8,), jnp.float32)
-    for i in range(3):
-        t0 = time.perf_counter()
-        _ = float(jnp.sum(x) + i)
-        vals.append(time.perf_counter() - t0)
-    return sorted(vals)[1]
-
-
-RTT = None
-
-
-def timeit(fn, *args, n=10):
-    global RTT
-    if RTT is None:
-        RTT = _rtt()
-    out = fn(*args)
-    _barrier(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    _barrier(out)
-    return max((time.perf_counter() - t0 - RTT), 1e-9) / n
 
 
 def main():

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -23,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from _timing import timeit  # shared RTT-corrected timing
 
 
 def passthrough(clips_u8, block):
@@ -48,34 +48,16 @@ def passthrough(clips_u8, block):
     )(clips_u8)
 
 
-def rtt():
-    vals = []
-    x = jnp.zeros((8,), jnp.float32)
-    for i in range(3):
-        t0 = time.perf_counter()
-        _ = float(jnp.sum(x) + i)
-        vals.append(time.perf_counter() - t0)
-    return sorted(vals)[1]
-
-
-def timeit(fn, n=20):
-    out = fn()
-    _ = float(jnp.sum(out[0, 0, 0, 0, :1]))
-    r = rtt()
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    _ = float(jnp.sum(out[0, 0, 0, 0, :1]))
-    return max(time.perf_counter() - t0 - r, 1e-9) / n
-
-
 def main():
     N, C, T, S = 256, 3, 16, 112
     clips = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, (N, C, T, S, S), dtype=np.uint8))
     mb = clips.nbytes / 1e6 + N * C * T * S * S * 4 / 1e6
     for block in (1, 2, 4, 8):
-        dt = timeit(lambda: passthrough(clips, block))
+        # jit once per block size: an unjitted pallas_call would re-trace
+        # on every timed call, measuring host tracing instead of the device
+        fn = jax.jit(lambda c, b=block: passthrough(c, b))
+        dt = timeit(fn, clips, n=20)
         print(f"block={block}: {dt*1e3:6.2f} ms for {N} clips "
               f"({dt/ (N // block) * 1e6:5.1f} us/program, "
               f"{mb / 1e3 / dt:6.1f} GB/s effective)", flush=True)

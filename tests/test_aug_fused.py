@@ -161,3 +161,25 @@ def test_fused_sharded_matches_single_device():
         out_shardings=NamedSharding(mesh, P()),
     )(key, fs)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_fused_honours_normalize_flag():
+    frames = _frames(6)
+    key = jax.random.PRNGKey(29)
+    raw = pretrain_batch_fused(
+        key, frames, AugConfig(img_dim=SIZE, seq_len=T, normalize=False,
+                               fused="on", fused_compute="float32"))
+    ref = _pretrain_batch_unfused(
+        key, frames, AugConfig(img_dim=SIZE, seq_len=T, normalize=False,
+                               fused="off"))
+    # un-normalized outputs live in [0, 1]
+    assert float(jnp.min(raw)) >= 0.0 and float(jnp.max(raw)) <= 1.0
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(ref), atol=2e-5)
+
+
+def test_forced_on_with_per_frame_jitter_raises():
+    frames = _frames(7)
+    cfg = AugConfig(img_dim=SIZE, seq_len=T, aug_temp_consist=False,
+                    fused="on")
+    with pytest.raises(ValueError, match="clip-consistent"):
+        pretrain_batch(jax.random.PRNGKey(0), frames, cfg)

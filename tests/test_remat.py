@@ -45,3 +45,25 @@ def test_remat_preserves_loss_and_grads():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_classifier_remat_builds_and_matches():
+    """The classifier --remat path (backbone called through nn.remat's
+    positional-args contract in heads.py) must build and match no-remat
+    numerics."""
+    from dualvar_tpu.models.backbones import select_backbone
+    from dualvar_tpu.models.heads import LinearClassifier
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, T, IMG, IMG, 3))
+    outs = []
+    for remat in (False, True):
+        backbone, meta = select_backbone("r3d", jnp.float32, remat=remat)
+        clf = LinearClassifier(backbone=backbone,
+                               feature_size=meta["feature_size"],
+                               num_class=5)
+        v = clf.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        (logit, feat), _ = clf.apply(v, x, train=True,
+                                     rngs={"dropout": jax.random.PRNGKey(2)},
+                                     mutable=["batch_stats"])
+        outs.append(np.asarray(logit))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
