@@ -15,7 +15,10 @@ def test_two_process_distributed_smoke():
     env.pop("PYTHONPATH", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py")],
-        capture_output=True, text=True, timeout=570, env=env, cwd=REPO,
+        # 1200s: the smoke takes ~500s ALONE on this rig's single core and
+        # runs two python subprocesses — under a concurrently running suite
+        # it overruns 570s (observed twice)
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "multihost smoke PASSED" in out.stdout
