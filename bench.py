@@ -199,7 +199,8 @@ def main():
     # fused Pallas aug kernel (ops/aug_fused.py): one VMEM-resident pass for
     # crop->jitter->blur->normalize; f32 out (f32 aug-out measured faster
     # than bf16 out on v5e for the unfused path; fused re-measured equal)
-    aug_cfg = AugConfig(img_dim=img, seq_len=T, fused="auto")
+    aug_cfg = AugConfig(img_dim=img, seq_len=T, fused="auto",
+                        jitter_order="sample")  # driver default
 
     rng = jax.random.PRNGKey(0)
     example = jnp.zeros((B, 2, T, img, img, 3), jnp.float32)

@@ -43,12 +43,13 @@ class AugFlags:
     rand_flip: bool = True  # temporal flip in pretrain; spatial in classifier
     with_color_jitter: bool = True  # classifier.py:50
     aug_crop: bool = True  # classifier.py:104 — Scale((128,171)) when img_dim 112
-    # 'batch': one color-jitter op-order draw per (step, view), shared across
-    # the batch (perf default; see aug/pipeline.py AugConfig.jitter_order).
     # 'sample': reference-exact per-clip random op order
-    # (augmentation.py:510) — use for parity-validation runs. The fused
-    # kernel path honours 'sample' at no extra cost.
-    jitter_order: str = "batch"
+    # (augmentation.py:510) — the DEFAULT now that the fused kernel makes
+    # it free (the op-order switch index is a kernel scalar). 'batch' (one
+    # draw per step+view, shared across the batch) remains the cheap
+    # option for the unfused jnp path, where a per-sample order under vmap
+    # materializes all 4x4 switch branches (~3x aug cost).
+    jitter_order: str = "sample"
     # fused Pallas aug kernel (ops/aug_fused.py): 'auto' = on for TPU
     # backends with clip-consistent jitter, 'on'/'off' force
     fused_aug: str = "auto"
