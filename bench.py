@@ -40,6 +40,92 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Fail-fast plumbing. BENCH_r03 burned its whole driver budget (rc 124, no
+# JSON) because the axon relay was wedged and backend init blocked forever
+# inside the first device call. Three guards make that impossible now:
+#   1. _preflight(): probe the backend in a SUBPROCESS with a short deadline
+#      before the parent touches any device — a dead relay yields an error
+#      record in ~75s instead of a silent hang.
+#   2. _run_json_subprocess(): each auxiliary device-check runs in its own
+#      subprocess with its own deadline.
+#   3. _arm_watchdog(): if the whole bench overruns BENCH_DEADLINE_S
+#      (default 1500s) an error JSON line is still printed before exit.
+# ---------------------------------------------------------------------------
+
+_STAGE = {"stage": "start"}  # mutated as the bench progresses (watchdog tail)
+
+
+def _error_record(msg: str) -> dict:
+    return {
+        "metric": "clips/sec/chip pretrain (R3D-18 SimCLR, 16x112^2, bf16, "
+                  "full train step incl. on-device aug)",
+        "value": None,
+        "unit": "clips/s/chip",
+        "vs_baseline": None,
+        "error": msg,
+        "backend": os.environ.get("JAX_PLATFORMS", "<default>"),
+        "stage": _STAGE["stage"],
+    }
+
+
+def _arm_watchdog(deadline_s: float):
+    import threading
+
+    def fire():
+        print(json.dumps(_error_record(
+            f"bench watchdog fired after {deadline_s:.0f}s")), flush=True)
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def _preflight(deadline_s: float = 75.0) -> dict:
+    """Probe backend init in a subprocess. Returns {'backend':..., 'n':...}
+    on success, {'error':...} on failure/timeout — the parent has NOT touched
+    the backend yet either way, so it can exit cleanly."""
+    import subprocess
+    code = ("import jax, json; d = jax.devices(); "
+            "print(json.dumps({'backend': jax.default_backend(),"
+            " 'n': len(d)}))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=deadline_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"backend init timed out after {deadline_s:.0f}s"}
+    if p.returncode == 0:
+        for line in reversed((p.stdout or "").strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    tail = ((p.stderr or "").strip().splitlines() or ["<no stderr>"])[-1]
+    return {"error": f"backend init failed rc={p.returncode}: {tail[:300]}"}
+
+
+def _run_json_subprocess(argv: list[str], deadline_s: float, tag: str) -> dict:
+    """Run a script that prints one JSON line; bound it with a deadline so a
+    mid-run relay death cannot wedge the bench."""
+    import subprocess
+    try:
+        p = subprocess.run([sys.executable] + argv, capture_output=True,
+                           text=True, timeout=deadline_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"{tag} timed out after {deadline_s:.0f}s"}
+    for line in reversed((p.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    tail = ((p.stderr or "").strip().splitlines() or ["<no output>"])[-1]
+    return {"error": f"{tag} rc={p.returncode}: {tail[:300]}"}
+
+
 def _write_synthetic_jpegs(root: str, n_videos: int, vlen: int,
                            scale=(171, 128)):
     """One-time synthetic JPEG tree in the JpegFrameSource layout
@@ -139,58 +225,52 @@ def input_pipeline_bench(train_step, params, batch_stats, opt_state, B, T):
     return achieved, decode_clips, ncores, h2d_mbps
 
 
-def softdtw_device_check() -> dict:
+def softdtw_device_check(deadline_s: float = 600.0) -> dict:
     """Continuous re-verification of the Pallas soft-DTW kernels vs the XLA
     oracle on whatever backend the bench runs on (the PARITY bit-exactness
-    claim; reference self-check pattern utils/soft_dtw_cuda.py:373-409)."""
-    try:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from scripts.softdtw_device_check import run_check
-
-        fwd, bwd, impl = run_check(verbose=False)
-        log(f"softdtw {impl} vs oracle: fwd_err {fwd:.2e} bwd_err {bwd:.2e}")
-        return {"softdtw_check": {"impl": impl, "fwd_err": fwd,
-                                  "bwd_err": bwd, "exact": fwd == bwd == 0.0}}
-    except Exception as e:  # never let the check sink the bench metric
-        log("softdtw device check failed to run:", repr(e))
-        return {"softdtw_check": {"error": repr(e)}}
+    claim; reference self-check pattern utils/soft_dtw_cuda.py:373-409).
+    Subprocess-bounded so a mid-run relay death cannot wedge the bench."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    r = _run_json_subprocess(
+        [os.path.join(here, "scripts", "softdtw_device_check.py"), "--json"],
+        deadline_s, "softdtw check")
+    log("softdtw check:", r)
+    return {"softdtw_check": r}
 
 
-def aug_fused_device_check() -> dict:
+def aug_fused_device_check(deadline_s: float = 600.0) -> dict:
     """Re-verify the fused aug kernel against the unfused pipeline on the
     actual device (same pattern as the soft-DTW check): same key => same
-    random decisions, so outputs must agree to f32 chain tolerance."""
-    try:
-        from dualvar_tpu.aug.pipeline import (AugConfig,
-                                              _pretrain_batch_unfused,
-                                              pretrain_batch_fused)
-        frames = jax.device_put(np.random.default_rng(3).integers(
-            0, 255, (8, 2 * 16, 171, 128, 3), dtype=np.uint8))
-        key = jax.random.PRNGKey(5)
-        cfg = dict(img_dim=112, seq_len=16, fused_compute="float32")
-        fused = pretrain_batch_fused(key, frames,
-                                     AugConfig(**cfg, fused="on"))
-        ref = _pretrain_batch_unfused(key, frames,
-                                      AugConfig(**cfg, fused="off"))
-        # the unfused TPU blur einsum runs bf16 MXU operands (default
-        # precision); the kernel blur is f32-exact, so blurred clips carry
-        # that operand-rounding difference (~5e-2 max in normalized space)
-        err = float(jnp.max(jnp.abs(fused - ref)))
-        log(f"fused aug vs unfused on device: max err {err:.2e}")
-        return {"aug_fused_check": {"max_err": err, "ok": err < 0.2}}
-    except Exception as e:  # never let the check sink the bench metric
-        log("fused aug device check failed to run:", repr(e))
-        return {"aug_fused_check": {"error": repr(e)}}
+    random decisions, so outputs must agree to f32 chain tolerance.
+    Subprocess-bounded like the soft-DTW check."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    r = _run_json_subprocess(
+        [os.path.join(here, "scripts", "aug_fused_device_check.py"),
+         "--json"], deadline_s, "fused aug check")
+    log("fused aug check:", r)
+    return {"aug_fused_check": r}
 
 
 def main():
+    _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_S", "1500")))
+    _STAGE["stage"] = "preflight"
+    pf = _preflight(float(os.environ.get("BENCH_PREFLIGHT_S", "75")))
+    if "error" in pf:
+        log("backend preflight failed:", pf["error"])
+        print(json.dumps(_error_record(pf["error"])), flush=True)
+        return
+    log(f"backend preflight ok: {pf['backend']} x{pf['n']}")
+
     from dualvar_tpu.aug.pipeline import AugConfig
     from dualvar_tpu.models.ssl.simclr import SimCLRNaked
     from dualvar_tpu.train.tasks import total_loss
     import dualvar_tpu.aug.pipeline as P
 
+    _STAGE["stage"] = "softdtw_check"
     softdtw_info = softdtw_device_check()
+    _STAGE["stage"] = "aug_fused_check"
     aug_info = aug_fused_device_check()
+    _STAGE["stage"] = "train_step"
 
     B, T, H0, W0 = 128, 16, 171, 128
     img = 112
@@ -250,9 +330,11 @@ def main():
     # steps (each consumes the previous outputs, so the final loss transitively
     # waits on all of them) with a single final float(), minus a measured RTT.
     key = jax.random.PRNGKey(1)
+    _STAGE["stage"] = "compile"
     params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state,
                                                 frames, key)
     log("compiled; warmup loss", float(loss))
+    _STAGE["stage"] = "timing"
 
     rtts = []
     for i in range(3):
@@ -328,6 +410,7 @@ def main():
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / a100_est, 3)
         if a100_est == a100_est else None,
+        "backend": jax.default_backend(),
         **softdtw_info,
         **aug_info,
     }))

@@ -57,11 +57,17 @@ def run_check(verbose: bool = True) -> tuple[float, float, str]:
 
 
 def main() -> int:
-    fwd, bwd, impl = run_check()
+    as_json = "--json" in sys.argv
+    fwd, bwd, impl = run_check(verbose=not as_json)
     ok = fwd == 0.0 and bwd == 0.0
-    print(f"softdtw device check [{impl} on {jax.default_backend()}]: "
-          f"max fwd err {fwd:.3e}, max bwd err {bwd:.3e} -> "
-          f"{'EXACT' if ok else 'MISMATCH'}")
+    if as_json:
+        import json
+        print(json.dumps({"impl": impl, "fwd_err": fwd, "bwd_err": bwd,
+                          "exact": ok}))
+    else:
+        print(f"softdtw device check [{impl} on {jax.default_backend()}]: "
+              f"max fwd err {fwd:.3e}, max bwd err {bwd:.3e} -> "
+              f"{'EXACT' if ok else 'MISMATCH'}")
     return 0 if ok else 1
 
 

@@ -18,6 +18,11 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough on this rig: the axon sitecustomize calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter startup,
+# which takes precedence over JAX_PLATFORMS — and a wedged relay then hangs
+# every backends() call. The explicit config update wins over both.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # jax 0.9 XLA:CPU runs DEFAULT-precision matmuls/convs at reduced precision
