@@ -54,6 +54,39 @@ def test_load_split_train_val_disjoint(tmp_path):
     assert e.vname.count("/") == 1 and e.vlen >= 100  # "class/videoname"
 
 
+def test_vendored_hmdb51_splits_load():
+    """The hmdb51 split-01 CSVs are vendored (reference
+    process_data/data/hmdb51/{train,test}_split01.csv) so --data_root
+    process_data/data/hmdb51 works without regeneration."""
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "process_data", "data", "hmdb51")
+    ci = load_class_index(root)
+    assert ci.num_class == 51
+    train = load_split(root, "train")  # default val carve-out of 800
+    val = load_split(root, "val")
+    test = load_split(root, "test")
+    assert len(train) == 3563 - 800 and len(val) == 800 and len(test) == 1523
+    assert {e.vname for e in train}.isdisjoint({e.vname for e in val})
+    labels = {e.vlabel for e in train + val + test}
+    assert labels <= set(ci.classes)
+    e = train[0]
+    assert e.vname == f"{e.vlabel}/{e.vname.split('/')[1]}" and e.vlen > 0
+
+
+def test_vendored_ucf101_video_source():
+    """video_source.json (reference process_data/data/ucf101/) maps
+    'v_<Class>_g<group>' to a source-video id; vendored for dataset-prep
+    parity."""
+    import json
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "process_data", "data", "ucf101")
+    with open(os.path.join(root, "video_source.json")) as f:
+        src = json.load(f)
+    assert len(src) > 2000 and all(isinstance(v, int) for v in src.values())
+    assert "v_ApplyEyeMakeup_g01" in src
+
+
 def test_shard_for_process_partitions():
     shards = [shard_for_process(103, p, 4, shuffle_seed=1) for p in range(4)]
     assert all(len(s) == len(shards[0]) for s in shards)
