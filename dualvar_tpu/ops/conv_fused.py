@@ -154,11 +154,28 @@ def _conv_ref(x, w):
 
 @jax.custom_vjp
 def conv3d_bn_stats(x: Array, w: Array):
-    """(y, s1, s2) = (conv3d_same(x, w), sum_c y, sum_c y^2)."""
+    """(y, s1, s2) = (conv3d_same(x, w), sum_c y, sum_c y^2).
+
+    Guarded: raises on the TPU backend (see module STATUS — the grid-
+    accumulated s1/s2 are WRONG on hardware, and the kernel measured
+    5-9x slower than XLA's fused form anyway). Use conv3d_bn_stats_xla,
+    which IS the fast path on TPU. The interpret-mode kernel stays
+    reachable for tests via _fused_fwd(interpret=True).
+    """
+    if jax.default_backend() == "tpu":
+        raise NotImplementedError(
+            "conv3d_bn_stats: the Pallas kernel's s1/s2 grid accumulation "
+            "is known-wrong on TPU hardware and the kernel is slower than "
+            "XLA's own conv+stats fusion (module STATUS / PARITY.md). Use "
+            "conv3d_bn_stats_xla.")
     return _fused_fwd(x, w)
 
 
 def _fwd(x, w):
+    if jax.default_backend() == "tpu":  # same guard as the primal: grad
+        raise NotImplementedError(     # calls route through this rule
+            "conv3d_bn_stats: known-wrong on TPU hardware; use "
+            "conv3d_bn_stats_xla (module STATUS / PARITY.md).")
     y, s1, s2 = _fused_fwd(x, w)
     return (y, s1, s2), (x, w, y)
 

@@ -145,61 +145,9 @@ def worker(pid: int):
         np.asarray([ret["R@1"], ret["R@5"], ret["R@50"]], np.float64))
     assert np.allclose(agree_r, agree_r[0]), agree_r
     print(f"[proc {pid}] retrieval ok: {ret}", flush=True)
-
-    # -- phase 3: multicrop test protocol across processes ---------------
-    # The (video, window) records are sharded by process with padding that
-    # can duplicate a record on a *different* host; the record-level
-    # idempotent accumulation + seen-count division must make the
-    # multi-host answer equal the single-process one (checked by main()).
-    from dualvar_tpu.train.classifier import test_multicrop
-
-    mc = test_multicrop(cfg2, "five")
-    agree_m = multihost_utils.process_allgather(np.asarray(
-        [mc["five_top1"], mc["five_top5"], mc["center_top1"]], np.float64))
-    assert np.allclose(agree_m, agree_m[0]), agree_m
-    if pid == 0:
-        import json
-        with open("/tmp/mh_smoke_multicrop.json", "w") as f:
-            json.dump(mc, f)
-    print(f"[proc {pid}] multicrop ok: {mc}", flush=True)
-
-
-def _single_process_multicrop_oracle():
-    """Same tiny multicrop run on one process; must equal the 2-process
-    result written by worker 0."""
-    import dataclasses as _dc
-    import json
-    import tempfile
-
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
-    import numpy as np
-
-    from dualvar_tpu.core.config import CLASSIFIER_PRESETS, ModelConfig
-    from dualvar_tpu.train.classifier import test_multicrop
-
-    SEQ, IMG, H0, W0 = 4, 32, 40, 36
-    cfg = CLASSIFIER_PRESETS["smoke"]
-    cfg = _dc.replace(
-        cfg,
-        num_class=2,
-        data=_dc.replace(cfg.data, seq_len=SEQ, img_dim=IMG,
-                         scale_hw=(H0, W0), synthetic_videos=8,
-                         synthetic_classes=2, workers=2),
-        model=ModelConfig(net="r3d", dtype="float32"),
-        optim=_dc.replace(cfg.optim, batch_size=4, epochs=1),
-        run=_dc.replace(cfg.run,
-                        log_root=tempfile.mkdtemp(prefix="mh_eval_single_")),
-    )
-    single = test_multicrop(cfg, "five")
-    with open("/tmp/mh_smoke_multicrop.json") as f:
-        multi = json.load(f)
-    for k in ("center_top1", "center_top5", "five_top1", "five_top5"):
-        assert np.isclose(single[k], multi[k], atol=1e-9), (k, single, multi)
-    print(f"multicrop multi-host == single-host: {single}", flush=True)
+    # NOTE: the multicrop / temporal-10-clip multi-host-vs-single-host
+    # equivalence lives in scripts/multihost_eval_check.py (split out so
+    # each 2-process script stays inside its timeout envelope).
 
 
 def main():
@@ -211,16 +159,11 @@ def main():
     ]
     codes = [p.wait(timeout=900) for p in procs]
     assert codes == [0] * N_PROC, codes
-    out = subprocess.run(
-        [sys.executable, __file__, "oracle"], env=env, timeout=600)
-    assert out.returncode == 0
     print("multihost smoke PASSED")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]))
-    elif len(sys.argv) > 1 and sys.argv[1] == "oracle":
-        _single_process_multicrop_oracle()
     else:
         main()

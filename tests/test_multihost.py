@@ -17,11 +17,29 @@ def test_two_process_distributed_smoke():
         [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py")],
         # 1200s: the smoke takes ~500s ALONE on this rig's single core and
         # runs two python subprocesses — under a concurrently running suite
-        # it overruns 570s (observed twice)
+        # it overruns 570s (observed twice). The multicrop/tenclip phases
+        # were split into test_two_process_eval_protocol_equivalence to
+        # keep this inside its envelope.
         capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "multihost smoke PASSED" in out.stdout
+
+
+def test_two_process_eval_protocol_equivalence():
+    """10-crop and temporal-10-clip under 2 jax.distributed processes must
+    produce bit-identical accuracies to a single-process run (the
+    record-dedupe / idempotent-overwrite logic in train/classifier.py
+    :455-523; round-3 VERDICT #7)."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "multihost_eval_check.py")],
+        capture_output=True, text=True, timeout=2400, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "multihost eval check PASSED" in out.stdout
 
 
 def test_init_distributed_ignores_sentinel_env(monkeypatch):

@@ -1,25 +1,35 @@
-"""Multi-step TRAJECTORY parity vs torch: co-train both frameworks.
+"""Multi-step TRAJECTORY parity vs torch (round-3 VERDICT next-step #4).
 
-Round-3 VERDICT next-step #4: single-step forward/grad parity
-(tests/test_full_model_parity.py) bounds a step, but the accuracy target
-(UCF101 82.0 / HMDB51 51.2 within 0.5 pts, BASELINE.md) depends on the
-*trajectory* — BN-momentum, EMA, queue dynamics and SGD-momentum
-interactions over many steps. Real multi-epoch pretraining is out of reach
-in this container, so this file provides the cheapest available bound on
-the drift risk: co-train torch and JAX for 20 steps on identical synthetic
-batches with mirrored SGD (momentum 0.9 + weight decay, reference
-pretrain.py:272) and fixed per-step segment permutations, and assert
+Single-step forward/grad parity (tests/test_full_model_parity.py) bounds a
+step, but the accuracy target (UCF101 82.0 / HMDB51 51.2 within 0.5 pts,
+BASELINE.md) depends on the *trajectory* — BN running-stat momentum, EMA,
+queue dynamics and optimizer interactions over many steps.
 
-  * the per-step total-loss curves track within tolerance at every step;
-  * final parameters agree (stem conv, head kernels), scale-normalised;
-  * (MoCo) the EMA key encoder, queue contents and queue pointer after 20
-    steps — the ptr has wrapped the K=8 ring 5 times (reference
-    moco.py:109-126 ring arithmetic under repeated wraparound).
+Free-running co-training is NOT a usable oracle here: the DualVar losses
+are chaotic at the paper hyperparameters (T=0.07 amplifies embedding error
+~14x into the logits; the SR margin loss has a clip kink at diff=5 with
+theta=0.05). Measured on this setup, the torch-vs-JAX loss gap grows ~2.5x
+per step from the f32 single-step error floor — by step 10 the curves are
+uncorrelated at ANY lr, in either framework against itself. So the drift
+risk is bounded by decomposition instead, with no chaos anywhere:
+
+1. ``test_sgd_momentum_wd_optimizer_equivalence`` — torch.optim.SGD vs the
+   optax chain on a fixed synthetic gradient sequence, 30 steps, exact to
+   f32 (pins the optimizer mirroring: buf = m*buf + (g + wd*p)).
+2. ``test_*_trajectory_parity`` — drive a REAL 20-step torch training
+   trajectory; before every step transplant torch's current q-side weights
+   into JAX and assert every loss (and, every 5 steps, the stem gradient)
+   still matches. Meanwhile each framework accumulates its OWN auxiliary
+   state the whole 20 steps — BN running stats (SimCLR), EMA key encoder +
+   queue + ring ptr through 5 wraps (MoCo) — and the end states must agree.
+   Auxiliary-state errors cannot compound chaotically (EMA decays them at
+   0.999/step; queue rows are pure functions of matched forwards), so any
+   end-state divergence is a systematic threading bug, exactly the class
+   this test exists to catch (EMA at the wrong point, enqueue before the
+   loss, wrong BN momentum: reference moco.py:103-126,508,539,
+   pretrain.py:272).
 
 The torch models are the clean-room oracles from test_full_model_parity.
-Optimizer mirroring: torch SGD(momentum=0.9, dampening=0, nesterov=False,
-weight_decay=wd) computes buf = m*buf + (g + wd*p); p -= lr*buf, which is
-exactly optax.chain(add_decayed_weights(wd), sgd(lr, momentum=0.9)).
 """
 
 import numpy as np
@@ -43,17 +53,17 @@ from tests.test_full_model_parity import (  # noqa: E402
 from tests.test_torch_parity import t2j_conv  # noqa: E402
 
 STEPS = 20
-LR, WD, MOM = 0.01, 1e-4, 0.9
+LR, WD, MOM = 0.003, 1e-4, 0.9  # paper recipe (pretrain.py:272)
 B, T, IMG = 2, 8, 16
+LOSS_RTOL = 1e-2  # single-step tolerance, see test_full_model_parity
 
-# Per-step loss tolerance. Single-step parity is ~0.5% relative
-# (test_full_model_parity LOSS_RTOL note); over 20 SGD steps the parameter
-# drift compounds, and with T=0.07 temperatures amplifying embedding error
-# ~14x the curves stay within a few percent. A systematic optimizer or
-# state-threading slip (wrong momentum accumulation, EMA applied at the
-# wrong point, queue enqueued pre-loss) diverges the curve by >>10% within
-# a few steps.
-CURVE_RTOL = 6e-2
+
+def _loss_rtol(key: str) -> float:
+    """Per-key tolerance: the SR margin losses exponentiate
+    (others-highest)/theta with theta=0.05, so the backbones' ~7e-4 f32
+    embedding discrepancy becomes ~1.4e-2 in the exponent — a few percent
+    on a small loss value. CE losses are self-normalising and hold 1%."""
+    return 5e-2 if "ranking" in key else LOSS_RTOL
 
 
 def _randomize_bn(tm):
@@ -61,16 +71,6 @@ def _randomize_bn(tm):
         if isinstance(m, nn.BatchNorm3d):
             m.running_mean.normal_(0, 0.05)
             m.running_var.uniform_(0.5, 1.5)
-
-
-def _close(j, t, label, atol=2e-2):
-    """Scale-normalised comparison for trained tensors."""
-    t = np.asarray(t)
-    j = np.asarray(j)
-    assert j.shape == t.shape, (label, j.shape, t.shape)
-    scale = max(np.abs(t).max(), 1e-6)
-    np.testing.assert_allclose(j / scale, t / scale, atol=atol,
-                               err_msg=label)
 
 
 def _step_data(seed):
@@ -83,6 +83,46 @@ def _step_data(seed):
 
 def _j_block(block_np):
     return jnp.asarray(block_np.transpose(0, 1, 3, 4, 5, 2))
+
+
+def _deep(tree):
+    """Deep-copy: on the CPU backend jnp.asarray of a torch-weight numpy
+    view can ALIAS torch's memory, and opt.step() mutates in place."""
+    return jax.tree.map(lambda x: jnp.array(np.asarray(x)), tree)
+
+
+def _grad_dir_close(jg, tg, label, tol=5e-2):
+    """Direction+scale comparison for a gradient tensor (normalised by the
+    torch grad's max, as in test_full_model_parity.grad_close)."""
+    jg, tg = np.asarray(jg), np.asarray(tg)
+    scale = max(np.abs(tg).max(), 1e-8)
+    np.testing.assert_allclose(jg / scale, tg / scale, atol=tol,
+                               err_msg=label)
+
+
+def test_sgd_momentum_wd_optimizer_equivalence():
+    """torch.optim.SGD(momentum, weight_decay) == optax
+    chain(add_decayed_weights, sgd(momentum)) over 30 steps, exactly."""
+    rs = np.random.RandomState(7)
+    w0 = rs.randn(5, 3).astype(np.float32)
+    grads = rs.randn(30, 5, 3).astype(np.float32)
+
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt_t = torch.optim.SGD([wt], lr=LR, momentum=MOM, weight_decay=WD)
+
+    wj = jnp.asarray(w0.copy())
+    tx = optax.chain(optax.add_decayed_weights(WD),
+                     optax.sgd(LR, momentum=MOM))
+    st = tx.init(wj)
+
+    for g in grads:
+        opt_t.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+        upd, st = tx.update(jnp.asarray(g), st, wj)
+        wj = optax.apply_updates(wj, upd)
+        np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_simclr_tsv4_trajectory_parity():
@@ -101,57 +141,78 @@ def test_simclr_tsv4_trajectory_parity():
         {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(0)},
         _j_block(blocks[0]), perm=jnp.asarray(perms[0].astype(np.int32)),
         train=False)
-    params = jax.device_get(variables["params"])
+    params_t0 = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
-    copy_r3d(tm.backbone, params["backbone"], stats["backbone"])
-    copy_head(tm.clip_head, params["clip_head"])
-    copy_head(tm.series_head, params["series_head"])
+    copy_r3d(tm.backbone, params_t0["backbone"], stats["backbone"])
+    copy_head(tm.clip_head, params_t0["clip_head"])
+    copy_head(tm.series_head, params_t0["series_head"])
+    stats = _deep(stats)  # JAX accumulates its own running stats from here
+    scratch_stats = jax.device_get(variables["batch_stats"])
+
+    def sync_params():
+        p = jax.device_get(variables["params"])
+        copy_r3d(tm.backbone, p["backbone"], scratch_stats["backbone"])
+        copy_head(tm.clip_head, p["clip_head"])
+        copy_head(tm.series_head, p["series_head"])
+        return _deep(p)
 
     opt_t = torch.optim.SGD(tm.parameters(), lr=LR, momentum=MOM,
                             weight_decay=WD)
-    tx = optax.chain(optax.add_decayed_weights(WD),
-                     optax.sgd(LR, momentum=MOM))
-    opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, stats, opt_state, block, perm):
+    def forward(params, stats, block, perm):
         def loss_fn(p):
             ret, upd = jm.apply(
                 {"params": p, "batch_stats": stats}, block, perm=perm,
                 train=True, mutable=["batch_stats"])
             losses = {k: v for k, v in ret.items() if k.endswith("_loss")}
-            return sum(losses.values()), upd["batch_stats"]
+            return sum(losses.values()), (losses, upd["batch_stats"])
 
-        (total, new_stats), grads = jax.value_and_grad(
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_stats, new_opt, total
+        return losses, new_stats, grads["backbone"]["conv1"]["kernel"]
 
-    curve_t, curve_j = [], []
+    curve_t = []
     for s in range(STEPS):
+        params = sync_params()  # torch's current weights -> JAX
+        block_t = torch.from_numpy(blocks[s])
+        perm_t = torch.from_numpy(perms[s])
         opt_t.zero_grad()
-        total_t = sum(tm(torch.from_numpy(blocks[s]),
-                         torch.from_numpy(perms[s])).values())
+        ret_t = tm(block_t, perm_t)
+        total_t = sum(ret_t.values())
         total_t.backward()
-        opt_t.step()
-        curve_t.append(float(total_t))
 
-        params, stats, opt_state, total_j = train_step(
-            params, stats, opt_state, _j_block(blocks[s]),
+        losses_j, stats, g_conv1 = forward(
+            params, stats, _j_block(blocks[s]),
             jnp.asarray(perms[s].astype(np.int32)))
-        curve_j.append(float(total_j))
+        # identical weights => every loss matches at every trajectory point
+        for k, v in ret_t.items():
+            np.testing.assert_allclose(
+                float(losses_j[k]), float(v.detach()), rtol=_loss_rtol(k),
+                atol=1e-4, err_msg=f"step {s} loss {k}")
+        if s % 5 == 0 or s == STEPS - 1:
+            _grad_dir_close(
+                g_conv1,
+                tm.backbone.conv1.weight.grad.detach().numpy().transpose(
+                    2, 3, 4, 1, 0),
+                f"step {s} conv1 grad")
+        opt_t.step()
+        curve_t.append(float(total_t.detach()))
 
-    np.testing.assert_allclose(np.array(curve_j), np.array(curve_t),
-                               rtol=CURVE_RTOL, err_msg="loss curves")
-    # the curve must actually move (a frozen model would trivially "track")
-    assert abs(curve_t[-1] - curve_t[0]) > 1e-3
+    # the trajectory must actually train (not a frozen model)
+    assert np.std(curve_t) > 1e-3
 
-    _close(params["backbone"]["conv1"]["kernel"],
-           t2j_conv(tm.backbone.conv1.weight.detach()), "conv1 after 20")
-    _close(params["clip_head"]["fc2"]["kernel"],
-           tm.clip_head.fc2.weight.detach().numpy().T, "clip_head.fc2")
-    _close(params["series_head"]["fc2"]["kernel"],
-           tm.series_head.fc2.weight.detach().numpy().T, "series_head.fc2")
+    # BN running stats accumulated independently for 20 steps must agree
+    # (pins BN momentum 0.1-torch == 0.9-flax and the update rule;
+    # torch's unbiased-var correction is n/(n-1) ~ 1+1e-4 at these shapes)
+    np.testing.assert_allclose(
+        np.asarray(stats["backbone"]["bn1"]["bn"]["mean"]),
+        tm.backbone.bn1.running_mean.detach().numpy(), atol=2e-3,
+        err_msg="bn1 running mean after 20 steps")
+    np.testing.assert_allclose(
+        np.asarray(stats["backbone"]["bn1"]["bn"]["var"]),
+        tm.backbone.bn1.running_var.detach().numpy(), rtol=2e-2, atol=2e-3,
+        err_msg="bn1 running var after 20 steps")
 
 
 def test_moco_tsv4_trajectory_parity():
@@ -187,11 +248,23 @@ def test_moco_tsv4_trajectory_parity():
                           dtype=jnp.float32)
     variables = encoder.init(jax.random.PRNGKey(0), _j_block(blocks[0])[:, 0],
                              False)
-    params = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
-    copy_r3d(tm.encoder_q, params["backbone"], stats["backbone"])
-    copy_head(tm.clip_head_q, params["clip_head"])
-    copy_head(tm.series_head_q, params["series_head"])
+    scratch_stats = jax.device_get(variables["batch_stats"])
+
+    def sync_params():
+        p = jax.device_get(variables["params"])
+        copy_r3d(tm.encoder_q, p["backbone"], scratch_stats["backbone"])
+        copy_head(tm.clip_head_q, p["clip_head"])
+        copy_head(tm.series_head_q, p["series_head"])
+        return _deep(p)
+
+    params = sync_params()
+    stats = _deep(stats)
+    copy_r3d(tm.encoder_q, jax.device_get(variables["params"])["backbone"],
+             stats["backbone"])  # running stats start identical to torch
+    stats = _deep(stats)
+    # JAX threads its own MoCoState (EMA params/stats + queue + ptr) for all
+    # 20 steps — only the q side is re-synced from torch
     mstate = MoCoState(
         params_k=jax.tree.map(jnp.copy, params),
         batch_stats_k=jax.tree.map(jnp.copy, stats),
@@ -200,60 +273,79 @@ def test_moco_tsv4_trajectory_parity():
         ptr=jnp.zeros((), jnp.int32),
     )
 
-    # only the q-side carries gradients (reference moco.py:60-101): give the
-    # torch optimizer exactly those parameters
     opt_t = torch.optim.SGD(tm._q_params(), lr=LR, momentum=MOM,
                             weight_decay=WD)
-    tx = optax.chain(optax.add_decayed_weights(WD),
-                     optax.sgd(LR, momentum=MOM))
-    opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, stats, mstate, opt_state, block, perm):
+    def forward(params, stats, mstate, block, perm):
         def loss_fn(p):
             ret, upd_q, new_state = moco_timeseries_forward(
                 encoder, {"params": p, "batch_stats": stats}, mstate, block,
                 m=tm.m, temperature=tm.T, aligned_T=tm.aligned_T,
                 mode="clip-sr-tc", perm=perm, train=True)
             losses = {k: v for k, v in ret.items() if k.endswith("_loss")}
-            return sum(losses.values()), (upd_q["batch_stats"], new_state)
+            return sum(losses.values()), (losses, upd_q["batch_stats"],
+                                          new_state)
 
-        (total, (new_stats, new_state)), grads = jax.value_and_grad(
+        (_, (losses, new_stats, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), new_stats, new_state,
-                new_opt, total)
+        return (losses, new_stats, new_state,
+                grads["backbone"]["conv1"]["kernel"])
 
-    curve_t, curve_j = [], []
+    curve_t = []
     for s in range(STEPS):
+        params = sync_params()
         opt_t.zero_grad()
-        total_t = sum(tm(torch.from_numpy(blocks[s]),
-                         torch.from_numpy(perms[s])).values())
+        ret_t = tm(torch.from_numpy(blocks[s]), torch.from_numpy(perms[s]))
+        total_t = sum(ret_t.values())
         total_t.backward()
-        opt_t.step()
-        curve_t.append(float(total_t))
 
-        params, stats, mstate, opt_state, total_j = train_step(
-            params, stats, mstate, opt_state, _j_block(blocks[s]),
+        losses_j, stats, mstate, g_conv1 = forward(
+            params, stats, mstate, _j_block(blocks[s]),
             jnp.asarray(perms[s].astype(np.int32)))
-        curve_j.append(float(total_j))
+        for k, v in ret_t.items():
+            np.testing.assert_allclose(
+                float(losses_j[k]), float(v.detach()), rtol=_loss_rtol(k),
+                atol=1e-4, err_msg=f"step {s} loss {k}")
+        if s in (0, 5):
+            # early steps only, wider band than SimCLR: the q grads route
+            # through the queue logits, so the queues' (linear, bounded)
+            # f32 drift is amplified by 1/T=14 into the CE — by step 10+
+            # the grad comparison measures that noise, not wiring (the
+            # per-step LOSS assertions above keep covering every step)
+            _grad_dir_close(
+                g_conv1,
+                tm.encoder_q.conv1.weight.grad.detach().numpy().transpose(
+                    2, 3, 4, 1, 0),
+                f"step {s} conv1 grad", tol=1e-1)
+        opt_t.step()
+        curve_t.append(float(total_t.detach()))
 
-    np.testing.assert_allclose(np.array(curve_j), np.array(curve_t),
-                               rtol=CURVE_RTOL, err_msg="loss curves")
-    assert abs(curve_t[-1] - curve_t[0]) > 1e-3
+    assert np.std(curve_t) > 1e-3
 
-    # ring pointer after 20 steps of B=2 enqueues into K=8: wrapped 5x
+    # ring pointer after 20 steps of B=2 enqueues into K=8: wrapped 5x;
+    # queue contents are the last K/B enqueued key batches
     assert int(mstate.ptr) == int(tm.queue_ptr) == (STEPS * B) % K
     np.testing.assert_allclose(
         np.asarray(mstate.queue), tm.queue.detach().numpy().T,
-        atol=2e-2, err_msg="queue after 20 steps")
+        atol=5e-3, err_msg="queue after 20 steps")
     np.testing.assert_allclose(
         np.asarray(mstate.series_queue), tm.series_queue.detach().numpy().T,
-        atol=2e-2, err_msg="series queue after 20 steps")
+        atol=5e-3, err_msg="series queue after 20 steps")
 
-    _close(params["backbone"]["conv1"]["kernel"],
-           t2j_conv(tm.encoder_q.conv1.weight.detach()), "q conv1 after 20")
-    _close(mstate.params_k["backbone"]["conv1"]["kernel"],
-           t2j_conv(tm.encoder_k.conv1.weight.detach()), "EMA conv1 after 20")
-    _close(mstate.params_k["clip_head"]["fc2"]["kernel"],
-           tm.clip_head_k.fc2.weight.detach().numpy().T, "EMA clip fc2")
+    # EMA key encoder after 20 momentum updates of re-synced q params:
+    # errors decay at 0.999/step, so only a systematic slip (EMA at the
+    # wrong point, wrong m) can accumulate
+    np.testing.assert_allclose(
+        np.asarray(mstate.params_k["backbone"]["conv1"]["kernel"]),
+        t2j_conv(tm.encoder_k.conv1.weight.detach()), atol=1e-5,
+        err_msg="EMA conv1 after 20 steps")
+    np.testing.assert_allclose(
+        np.asarray(mstate.params_k["clip_head"]["fc2"]["kernel"]),
+        tm.clip_head_k.fc2.weight.detach().numpy().T, atol=1e-5,
+        err_msg="EMA clip fc2 after 20 steps")
+    # EMA BN running stats of the key encoder track torch's
+    np.testing.assert_allclose(
+        np.asarray(mstate.batch_stats_k["backbone"]["bn1"]["bn"]["mean"]),
+        tm.encoder_k.bn1.running_mean.detach().numpy(), atol=2e-3,
+        err_msg="key-encoder bn1 running mean after 20 steps")
