@@ -49,8 +49,16 @@ class CheckpointStore:
     ``keep_all`` switches the best manager to keep everything (the k400
     behavior, pretrain.py:357)."""
 
-    def __init__(self, directory: str, keep_all: bool = False, best_k: int = 5):
+    def __init__(self, directory: str, keep_all: bool = False, best_k: int = 5,
+                 async_save: bool = False):
         self.directory = os.path.abspath(directory)
+        # async_save=True overlaps checkpoint I/O with training: save()
+        # returns once the state is snapshotted and the write runs in
+        # orbax's background thread (a subsequent save/restore/close waits
+        # for it). The torch reference blocks the train loop on every
+        # torch.save (utils/utils.py:18-44); on TPU the step runs on device
+        # while the host writes, so this is effectively free pipelining.
+        self.async_save = async_save
         # backwards compat: a flat store (old layout / external dir) is
         # treated as the latest manager. Detected by the presence of an
         # actual orbax step checkpoint (digit-named dir containing orbax
@@ -85,6 +93,11 @@ class CheckpointStore:
         if self.best_mgr is not None:
             self.best_mgr.save(epoch, args=ocp.args.StandardSave(state),
                                metrics=metrics or {})
+        if not self.async_save:
+            self.wait_until_finished()
+
+    def wait_until_finished(self):
+        """Block until every in-flight async save has committed."""
         self.latest_mgr.wait_until_finished()
         if self.best_mgr is not None:
             self.best_mgr.wait_until_finished()
@@ -98,6 +111,7 @@ class CheckpointStore:
         return self.latest_mgr.latest_step()
 
     def restore(self, epoch: int | None = None, template: Any = None) -> Any:
+        self.wait_until_finished()  # an in-flight async save must land first
         if epoch is None:
             epoch = self.latest_mgr.latest_step()
         if epoch is None:
@@ -114,6 +128,7 @@ class CheckpointStore:
         return mgr.restore(epoch)
 
     def close(self):
+        self.wait_until_finished()
         self.latest_mgr.close()
         if self.best_mgr is not None:
             self.best_mgr.close()

@@ -105,6 +105,9 @@ class RunConfig:
     pretrain: str = ""
     log_root: str = "log"
     keep_all: bool = False  # keep every checkpoint (k400 behavior, pretrain.py:357)
+    # overlap checkpoint writes with training (orbax background commit);
+    # the torch reference blocks the loop on every torch.save
+    async_ckpt: bool = True
 
 
 @dataclass(frozen=True)

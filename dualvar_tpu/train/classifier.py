@@ -295,7 +295,8 @@ def train(cfg: ClassifierConfig, max_steps: int | None = None) -> dict[str, floa
     )
     eval_step = make_eval_step(model, aug_cfg)
 
-    store = CheckpointStore(os.path.join(exp_path, "model"))
+    store = CheckpointStore(os.path.join(exp_path, "model"),
+                            async_save=cfg.run.async_ckpt)
     writer = (MetricsWriter(os.path.join(exp_path, "img", "train"))
               if jax.process_index() == 0 else None)
     start_epoch = cfg.optim.start_epoch

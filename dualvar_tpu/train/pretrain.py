@@ -222,7 +222,8 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
     )
 
     store = CheckpointStore(os.path.join(exp_path, "model"),
-                            keep_all=cfg.run.keep_all)
+                            keep_all=cfg.run.keep_all,
+                            async_save=cfg.run.async_ckpt)
     start_epoch = cfg.optim.start_epoch
     best_acc = 0.0
     if cfg.run.resume:
@@ -392,6 +393,8 @@ def main():
     p.add_argument("--save_freq", type=int, default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--pretrain", default=None)
+    p.add_argument("--async_ckpt", type=int, default=None, choices=[None, 0, 1],
+                   help="overlap checkpoint writes with training (default 1)")
     # driver extras
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--profile_steps", type=int, default=0)
@@ -416,9 +419,12 @@ def main():
                 cfg.optim,
                 schedule=tuple(args.schedule) if args.schedule else cfg.optim.schedule),
             args, ("batch_size", "lr", "wd", "epochs", "start_epoch")),
-        run=_override(cfg.run, args,
+        run=dataclasses.replace(
+            _override(cfg.run, args,
                       ("prefix", "name_prefix", "seed", "print_freq",
                        "eval_freq", "save_freq", "resume", "pretrain")),
+            **({} if args.async_ckpt is None
+               else {"async_ckpt": bool(args.async_ckpt)})),
     )
     train(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps)
 

@@ -153,6 +153,30 @@ def test_checkpoint_roundtrip(tmp_path):
     store.close()
 
 
+def test_checkpoint_async_save_roundtrip(tmp_path):
+    """async_save=True overlaps the write with training; restore/close must
+    wait for in-flight commits, and the buffer must be snapshotted at save
+    time (mutating the source array after save() cannot corrupt it)."""
+    from dualvar_tpu.core.checkpoint import CheckpointStore
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    state = {"params": {"w": w}, "step": np.full((), 7, np.int32)}
+    store = CheckpointStore(str(tmp_path / "ckpt"), async_save=True)
+    store.save(0, state, {"acc": 0.5})
+    w += 100.0  # simulates the donated-buffer reuse of the next train step
+    out = store.restore(0, template=state)  # waits for the in-flight save
+    np.testing.assert_array_equal(
+        out["params"]["w"], np.arange(6, dtype=np.float32).reshape(2, 3))
+    store.save(1, {"params": {"w": w}, "step": np.full((), 8, np.int32)},
+               {"acc": 0.9})
+    store.close()  # waits, then closes
+    reopened = CheckpointStore(str(tmp_path / "ckpt"))
+    assert reopened.latest_epoch() == 1
+    out1 = reopened.restore(1, template=state)
+    np.testing.assert_array_equal(out1["params"]["w"], w)
+    reopened.close()
+
+
 def test_backbone_graft():
     from dualvar_tpu.core.checkpoint import load_pretrained_backbone
     from dualvar_tpu.models.backbones import select_backbone
