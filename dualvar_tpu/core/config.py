@@ -33,6 +33,9 @@ class DataConfig:
     # host resize target (H, W) — Scale((128,171)) semantics: width 128,
     # height 171 (pretrain.py:494; PIL resize takes (W, H))
     scale_hw: tuple[int, int] = (171, 128)
+    # DCT-domain scaled JPEG decode (native path): ~1.35x faster per core,
+    # pixels close to but not bitwise-equal with the PIL-parity decode
+    fast_decode: bool = False
 
 
 @dataclass(frozen=True)

@@ -48,11 +48,17 @@ class JpegFrameSource:
     the PIL path is the fallback and handles int short-side resizes."""
 
     def __init__(self, db_path: str, scale: tuple[int, int] | int = (171, 128),
-                 use_native: bool = True, native_threads: int = 4):
-        # scale: (H, W) fixed resize, or int short-side resize
+                 use_native: bool = True, native_threads: int = 4,
+                 fast_decode: bool = False):
+        # scale: (H, W) fixed resize, or int short-side resize.
+        # fast_decode: DCT-domain scaled decode (libjpeg k/8 scaling) — skips
+        # most IDCT work when the source frames are larger than `scale`;
+        # pixels are close to but NOT bitwise-equal with the PIL-parity path,
+        # so it stays opt-in (native path only).
         self.db_path = db_path
         self.scale = scale
         self.native_threads = native_threads
+        self.fast_decode = fast_decode
         self._native = None
         if use_native and not isinstance(scale, int):
             from .. import native
@@ -78,7 +84,8 @@ class JpegFrameSource:
         paths = self.paths(vname, frame_indices)
         if self._native is not None:
             return self._native.decode_jpeg_files(
-                paths, self.scale, n_threads=self.native_threads
+                paths, self.scale, n_threads=self.native_threads,
+                fast=self.fast_decode,
             )
         frames = []
         for i in frame_indices:
@@ -394,7 +401,8 @@ class HostLoader:
         ok = native_mod.decode_jpeg_files_into(
             paths, out.reshape(len(plans) * F, H, W, 3),
             n_threads=max(1, self.num_workers // max(1, min(
-                self.prefetch, 2))))
+                self.prefetch, 2))),
+            fast=getattr(src, "fast_decode", False))
         assert ok
         batch = {"frames": out}
         for k in plans[0][2]:

@@ -55,12 +55,13 @@ def lib():
         L.dv_decode_files.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int,
         ]
         L.dv_decode_buffers.restype = ctypes.c_int
         L.dv_decode_buffers.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ]
         L.dv_resize_bicubic.restype = None
         L.dv_resize_bicubic.argtypes = [
@@ -76,11 +77,14 @@ def available() -> bool:
 
 
 def decode_jpeg_files(
-    paths: list[str], out_hw: tuple[int, int], n_threads: int = 8
+    paths: list[str], out_hw: tuple[int, int], n_threads: int = 8,
+    fast: bool = False,
 ) -> np.ndarray | None:
     """Decode+resize JPEG files to a (n, H, W, 3) uint8 batch; None if the
     native library is unavailable. Failed frames come back zero-filled (the
-    return count is checked by callers that care)."""
+    return count is checked by callers that care). ``fast=True`` decodes at
+    the smallest covering k/8 DCT scale (skips most IDCT work; pixels are
+    close to but not bitwise-equal with the PIL-parity path)."""
     L = lib()
     if L is None:
         return None
@@ -90,19 +94,21 @@ def decode_jpeg_files(
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     L.dv_decode_files(
         arr, n, H, W, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        n_threads,
+        n_threads, int(fast),
     )
     return out
 
 
 def decode_jpeg_files_into(
-    paths: list[str], out: np.ndarray, n_threads: int = 8
+    paths: list[str], out: np.ndarray, n_threads: int = 8,
+    fast: bool = False,
 ) -> bool:
     """Decode+resize JPEG files directly into a caller-provided
     (n, H, W, 3) C-contiguous uint8 buffer — the batch-assembler path: one
     native call per *batch*, the C++ thread pool load-balances across every
     frame of every sample, and the collate copy disappears. Returns False
-    when the native library is unavailable."""
+    when the native library is unavailable. ``fast`` as in
+    decode_jpeg_files."""
     L = lib()
     if L is None:
         return False
@@ -112,7 +118,7 @@ def decode_jpeg_files_into(
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     L.dv_decode_files(
         arr, n, H, W, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        n_threads,
+        n_threads, int(fast),
     )
     return True
 

@@ -44,8 +44,13 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG byte buffer to tightly packed RGB. Returns false on failure.
+// target_w/target_h > 0 enable DCT-domain scaled decode (the "fast" path):
+// libjpeg decodes at the smallest k/8 scale that still covers the target,
+// skipping most of the IDCT work — the caller's bicubic resample then does
+// the final (small) reduction. Not bitwise-equal to full decode + resample;
+// callers keep it opt-in.
 bool decode_rgb(const uint8_t* data, size_t size, std::vector<uint8_t>& rgb,
-                int* w, int* h) {
+                int* w, int* h, int target_w = 0, int target_h = 0) {
   jpeg_decompress_struct cinfo;
   JpegErr err;
   cinfo.err = jpeg_std_error(&err.mgr);
@@ -59,6 +64,21 @@ bool decode_rgb(const uint8_t* data, size_t size, std::vector<uint8_t>& rgb,
                static_cast<unsigned long>(size));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (target_w > 0 && target_h > 0) {
+    const int iw = static_cast<int>(cinfo.image_width);
+    const int ih = static_cast<int>(cinfo.image_height);
+    int k = 8;
+    // smallest k/8 whose scaled dims still cover the target (never upscale)
+    for (int c = 1; c <= 8; ++c) {
+      if (static_cast<long>(iw) * c >= static_cast<long>(target_w) * 8 &&
+          static_cast<long>(ih) * c >= static_cast<long>(target_h) * 8) {
+        k = c;
+        break;
+      }
+    }
+    cinfo.scale_num = static_cast<unsigned>(k);
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
@@ -187,11 +207,14 @@ bool read_file(const char* path, std::vector<uint8_t>& buf) {
 
 // decode one file into out slot (short-side resize when out dims carry sign
 // convention below, else fixed resize)
-bool decode_one(const char* path, int out_h, int out_w, uint8_t* out) {
+bool decode_one(const char* path, int out_h, int out_w, uint8_t* out,
+                int fast) {
   std::vector<uint8_t> file, rgb;
   if (!read_file(path, file)) return false;
   int w = 0, h = 0;
-  if (!decode_rgb(file.data(), file.size(), rgb, &w, &h)) return false;
+  if (!decode_rgb(file.data(), file.size(), rgb, &w, &h,
+                  fast ? out_w : 0, fast ? out_h : 0))
+    return false;
   resize_bicubic(rgb.data(), w, h, out, out_w, out_h);
   return true;
 }
@@ -203,9 +226,10 @@ extern "C" {
 // Decode `n` JPEG files, each resized to (out_h, out_w), into the contiguous
 // buffer `out` of shape (n, out_h, out_w, 3) uint8, using `n_threads`
 // workers. Returns the number of successfully decoded frames (== n on full
-// success); failed slots are zero-filled.
+// success); failed slots are zero-filled. `fast` != 0 enables DCT-domain
+// scaled decode (see decode_rgb) — ~equal pixels, not bitwise PIL parity.
 int dv_decode_files(const char** paths, int n, int out_h, int out_w,
-                    uint8_t* out, int n_threads) {
+                    uint8_t* out, int n_threads, int fast) {
   const size_t frame = static_cast<size_t>(out_h) * out_w * 3;
   std::atomic<int> next(0), ok(0);
   const int workers = std::max(1, std::min(n_threads, n));
@@ -214,7 +238,7 @@ int dv_decode_files(const char** paths, int n, int out_h, int out_w,
       const int i = next.fetch_add(1);
       if (i >= n) break;
       uint8_t* slot = out + frame * i;
-      if (decode_one(paths[i], out_h, out_w, slot)) {
+      if (decode_one(paths[i], out_h, out_w, slot, fast)) {
         ok.fetch_add(1);
       } else {
         std::memset(slot, 0, frame);
@@ -234,7 +258,8 @@ int dv_decode_files(const char** paths, int n, int out_h, int out_w,
 
 // In-memory variant: decode `n` JPEG buffers (ptrs/sizes) to (n, H, W, 3).
 int dv_decode_buffers(const uint8_t** bufs, const size_t* sizes, int n,
-                      int out_h, int out_w, uint8_t* out, int n_threads) {
+                      int out_h, int out_w, uint8_t* out, int n_threads,
+                      int fast) {
   const size_t frame = static_cast<size_t>(out_h) * out_w * 3;
   std::atomic<int> next(0), ok(0);
   const int workers = std::max(1, std::min(n_threads, n));
@@ -245,7 +270,8 @@ int dv_decode_buffers(const uint8_t** bufs, const size_t* sizes, int n,
       if (i >= n) break;
       uint8_t* slot = out + frame * i;
       int w = 0, h = 0;
-      if (decode_rgb(bufs[i], sizes[i], rgb, &w, &h)) {
+      if (decode_rgb(bufs[i], sizes[i], rgb, &w, &h,
+                     fast ? out_w : 0, fast ? out_h : 0)) {
         resize_bicubic(rgb.data(), w, h, slot, out_w, out_h);
         ok.fetch_add(1);
       } else {

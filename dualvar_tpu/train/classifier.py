@@ -194,7 +194,8 @@ def build_datasets(cfg: ClassifierConfig, mode: str):
         root = d.data_root or os.path.join("process_data", "data", name)
         entries = load_split(root, mode=mode, which_split=d.which_split)
         class_index = load_class_index(root)
-        source = JpegFrameSource(d.db_path, scale=d.scale_hw)
+        source = JpegFrameSource(d.db_path, scale=d.scale_hw,
+                                 fast_decode=d.fast_decode)
     return entries, class_index, source
 
 
@@ -676,6 +677,9 @@ def main():
     p.add_argument("--ds", type=int, default=None)
     p.add_argument("--img_dim", type=int, default=None)
     p.add_argument("-j", "--workers", type=int, default=None)
+    p.add_argument("--fast_decode", type=int, default=None, choices=[None, 0, 1],
+                   help="DCT-scaled JPEG decode (~1.35x faster host decode; "
+                        "near-equal, not bitwise-PIL pixels)")
     p.add_argument("--data_root", default=None)
     p.add_argument("--db_path", default=None)
     # optim group
@@ -705,6 +709,8 @@ def main():
     data = _override(cfg.data, args,
                      ("dataset", "which_split", "seq_len", "ds", "img_dim",
                       "workers", "data_root", "db_path"))
+    if args.fast_decode is not None:
+        data = dataclasses.replace(data, fast_decode=bool(args.fast_decode))
     if args.data_root or args.db_path:
         data = dataclasses.replace(data, synthetic=False)
     cfg = dataclasses.replace(

@@ -145,7 +145,8 @@ def build_dataset(cfg: PretrainConfig, n_views: int = 3):
         root = d.data_root or os.path.join("process_data", "data", name)
         entries = load_split(root, mode="train", which_split=d.which_split)
         class_index = load_class_index(root)
-        source = JpegFrameSource(d.db_path, scale=d.scale_hw)
+        source = JpegFrameSource(d.db_path, scale=d.scale_hw,
+                                 fast_decode=d.fast_decode)
     # 2-view models don't need the aug_series third view; skip assembling,
     # decoding, and augmenting it (the reference always built it and the
     # round-1 driver sliced it off on device)
@@ -377,6 +378,9 @@ def main():
     p.add_argument("--ds", type=int, default=None)
     p.add_argument("--img_dim", type=int, default=None)
     p.add_argument("-j", "--workers", type=int, default=None)
+    p.add_argument("--fast_decode", type=int, default=None, choices=[None, 0, 1],
+                   help="DCT-scaled JPEG decode (~1.35x faster host decode; "
+                        "near-equal, not bitwise-PIL pixels)")
     # optim group
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -404,6 +408,8 @@ def main():
     data = _override(cfg.data, args,
                      ("dataset", "data_root", "db_path", "seq_len", "ds",
                       "img_dim", "workers"))
+    if args.fast_decode is not None:
+        data = dataclasses.replace(data, fast_decode=bool(args.fast_decode))
     if args.data_root or args.db_path:
         data = dataclasses.replace(data, synthetic=False)
     cfg = cfg.replace(

@@ -53,6 +53,43 @@ def test_resize_matches_pil_upscale():
     assert (diff > 2).mean() < 0.02
 
 
+def test_fast_decode_close_to_exact(tmp_path_factory):
+    """DCT-domain scaled decode (fast=True) approximates the full decode on
+    natural-statistics content. Noise images are the worst case (scaled
+    decode discards high frequencies), so the fixture is smooth."""
+    d = tmp_path_factory.mktemp("smooth")
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float64)
+    img = np.stack([
+        127 + 90 * np.sin(xx / 40.0) * np.cos(yy / 55.0),
+        30 + 0.5 * xx + 0.2 * yy,
+        200 - 0.4 * yy + 20 * np.sin((xx + yy) / 70.0),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    paths = []
+    for i in range(4):
+        p = str(d / f"s{i}.jpg")
+        Image.fromarray(np.roll(img, 13 * i, axis=1)).save(p, quality=80)
+        paths.append(p)
+
+    exact = native.decode_jpeg_files(paths, (171, 128), n_threads=2)
+    fast = native.decode_jpeg_files(paths, (171, 128), n_threads=2, fast=True)
+    assert fast.shape == exact.shape and fast.dtype == np.uint8
+    assert fast[0].sum() > 0
+    diff = np.abs(fast.astype(int) - exact.astype(int))
+    # 320x240 -> (171,128) decodes at 5/8 scale: small resample-chain delta
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 12).mean() < 0.01
+
+
+def test_fast_decode_noop_when_target_larger(jpeg_dir):
+    """fast=True must never DCT-downscale below the target: an upscaling
+    resize (target > source) keeps the full 8/8 decode and stays equal to
+    the exact path."""
+    exact = native.decode_jpeg_files(jpeg_dir[:2], (300, 400), n_threads=1)
+    fast = native.decode_jpeg_files(jpeg_dir[:2], (300, 400), n_threads=1,
+                                    fast=True)
+    np.testing.assert_array_equal(fast, exact)
+
+
 def test_decode_missing_file_zero_filled(jpeg_dir):
     paths = [jpeg_dir[0], "/nonexistent/nope.jpg"]
     out = native.decode_jpeg_files(paths, (32, 32))
