@@ -186,6 +186,15 @@ def input_pipeline_bench(train_step, params, batch_stats, opt_state, B, T):
     decode_clips = 2 / dt_probe  # 2 views per sample
     log(f"host decode: {dt_probe * 1e3:.0f} ms/sample (2x{T} frames) = "
         f"{decode_clips:.1f} clips/s/core on {ncores} core(s)")
+    # companion: the opt-in DCT-scaled decode rate (--fast_decode driver flag)
+    source.fast_decode = True
+    t0 = time.perf_counter()
+    for i in range(n_probe):
+        dataset(i % n_videos, rng)
+    fast_clips = 2 * n_probe / (time.perf_counter() - t0)
+    source.fast_decode = False
+    log(f"host decode (fast_decode): {fast_clips:.1f} clips/s/core "
+        f"({fast_clips / decode_clips:.2f}x)")
 
     # H2D probe: on this rig transfers ride the axon tunnel (~tens of MB/s
     # vs ~20 GB/s PCIe on a real TPU host) — measured so the end-to-end
@@ -222,7 +231,7 @@ def input_pipeline_bench(train_step, params, batch_stats, opt_state, B, T):
     _ = float(loss)
     dt = time.perf_counter() - t0
     achieved = clips / dt
-    return achieved, decode_clips, ncores, h2d_mbps
+    return achieved, decode_clips, ncores, h2d_mbps, fast_clips
 
 
 def softdtw_device_check(deadline_s: float = 600.0) -> dict:
@@ -372,7 +381,8 @@ def main():
         a100_est = float("nan")
 
     if "--input-pipeline" in sys.argv:
-        achieved, decode_clips, ncores, h2d_mbps = input_pipeline_bench(
+        (achieved, decode_clips, ncores, h2d_mbps,
+         fast_clips) = input_pipeline_bench(
             step, params, batch_stats, opt_state, B, T)
         need = clips_per_sec / max(decode_clips, 1e-9)
         # bytes/clip of uint8 frames -> H2D-sustainable clip rate
@@ -386,6 +396,7 @@ def main():
             "vs_baseline": round(achieved / clips_per_sec, 3),
             "resident_batch_clips_per_sec": round(clips_per_sec, 2),
             "host_decode_clips_per_sec_per_core": round(decode_clips, 2),
+            "fast_decode_clips_per_sec_per_core": round(fast_clips, 2),
             "host_cores": ncores,
             "cores_to_saturate_chip": round(need, 1),
             "h2d_MBps": round(h2d_mbps, 1),
