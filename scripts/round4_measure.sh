@@ -55,4 +55,9 @@ for comp in ('float32', 'bfloat16'):
 # 5. VERDICT #8: microbatched encode probe (bounded; record and close)
 run python scripts/microbatch_encode.py
 
+# 6. batch-size frontier: B=192 was never probed (128 ok, 256 OOM by 216MB);
+#    with the fused aug kernel's smaller intermediates it may now fit
+run python scripts/perf_sweep.py 192
+run python scripts/perf_sweep.py remat192
+
 echo "ALL MEASUREMENTS DONE — record results in PARITY.md round-4 section" >&2
