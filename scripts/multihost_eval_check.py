@@ -10,16 +10,23 @@ classifier.py:545-738, which the reference only ever ran single-GPU for
 tests).
 
 This script runs BOTH protocols — 10-crop (center ⊂ five ⊂ ten with the
-flip passes) and temporal-10-clip — under 2 jax.distributed processes and
-again single-process, and asserts the outputs are IDENTICAL (atol 1e-9 on
-every accuracy; classwise dicts equal). Split out of multihost_smoke.py so
-each script stays inside its timeout envelope on a 1-core rig.
+flip passes) and temporal-10-clip — single-process first, then under 2
+jax.distributed processes, and asserts the outputs are IDENTICAL
+(atol 1e-9 on every accuracy; classwise dicts equal).
+
+Ordering note: the single-process oracle runs FIRST so the persistent
+compile cache is warm with the 11 forward programs before the 2-process
+phase — on a 1-core rig, cold per-process compiles skew the workers by
+minutes and the first cross-process collective then dies in gloo's 30s
+context-init rendezvous. Explicit sync barriers between phases bound the
+remaining skew.
 
 Usage: python scripts/multihost_eval_check.py            # spawns everything
        python scripts/multihost_eval_check.py worker <i>  # internal
        python scripts/multihost_eval_check.py oracle      # internal
 """
 
+import json
 import os
 import subprocess
 import sys
@@ -30,9 +37,22 @@ sys.path.insert(0, REPO)
 N_PROC = 2
 DEV_PER_PROC = 4
 PORT = 12611
-RESULT = "/tmp/mh_eval_check.json"
+RESULT_MULTI = "/tmp/mh_eval_check_multi.json"
+RESULT_SINGLE = "/tmp/mh_eval_check_single.json"
 
 SEQ, IMG, H0, W0 = 4, 32, 40, 36
+
+
+def _env_setup():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={DEV_PER_PROC}"
+    )
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
 
 
 def _tiny_cfg(prefix: str):
@@ -55,27 +75,8 @@ def _tiny_cfg(prefix: str):
     )
 
 
-def _run_protocols(tag: str):
-    from dualvar_tpu.train.classifier import (
-        test_multicrop,
-        test_temporal_tenclip,
-    )
-
-    cfg = _tiny_cfg(f"mh_eval_{tag}_")
-    mc = test_multicrop(cfg, "ten")
-    tt = test_temporal_tenclip(cfg)
-    return mc, tt
-
-
 def worker(pid: int):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={DEV_PER_PROC}"
-    )
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax = _env_setup()
     jax.distributed.initialize(
         coordinator_address=f"localhost:{PORT}",
         num_processes=N_PROC,
@@ -83,72 +84,91 @@ def worker(pid: int):
     )
     assert jax.process_count() == N_PROC
 
-    import json
-
     import numpy as np
     from jax.experimental import multihost_utils
 
-    mc, tt = _run_protocols(f"p{pid}")
+    from dualvar_tpu.train.classifier import (
+        test_multicrop,
+        test_temporal_tenclip,
+    )
 
-    # every process must report the same numbers (the gathers agree)
+    # establish the gloo context while the processes are still aligned
+    multihost_utils.sync_global_devices("mh_eval_start")
+    cfg = _tiny_cfg(f"mh_eval_p{pid}_")
+    mc = test_multicrop(cfg, "ten")
+    multihost_utils.sync_global_devices("mh_eval_mid")
+    tt = test_temporal_tenclip(cfg)
+
     agree = multihost_utils.process_allgather(np.asarray(
         [mc["center_top1"], mc["five_top1"], mc["ten_top1"],
          mc["ten_top5"], tt["top1"], tt["top5"]], np.float64))
     assert np.allclose(agree, agree[0]), agree
     if pid == 0:
-        with open(RESULT, "w") as f:
+        with open(RESULT_MULTI, "w") as f:
             json.dump({"multicrop": mc, "tenclip": tt}, f)
     print(f"[proc {pid}] eval protocols ok: multicrop ten_top1 "
           f"{mc['ten_top1']:.4f}, tenclip top1 {tt['top1']:.4f}", flush=True)
+    multihost_utils.sync_global_devices("mh_eval_done")
 
 
 def oracle():
-    """Single-process run of the identical protocols; must match the
-    2-process result exactly."""
-    import json
-
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={DEV_PER_PROC}"
+    _env_setup()
+    from dualvar_tpu.train.classifier import (
+        test_multicrop,
+        test_temporal_tenclip,
     )
-    import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
+    cfg = _tiny_cfg("mh_eval_single_")
+    mc = test_multicrop(cfg, "ten")
+    tt = test_temporal_tenclip(cfg)
+    with open(RESULT_SINGLE, "w") as f:
+        json.dump({"multicrop": mc, "tenclip": tt}, f)
+    print(f"[oracle] multicrop {mc['ten_top1']:.4f}/{mc['ten_top5']:.4f}, "
+          f"tenclip {tt['top1']:.4f}/{tt['top5']:.4f}", flush=True)
+
+
+def _compare():
     import numpy as np
 
-    mc, tt = _run_protocols("single")
-    with open(RESULT) as f:
+    with open(RESULT_SINGLE) as f:
+        single = json.load(f)
+    with open(RESULT_MULTI) as f:
         multi = json.load(f)
-
     for k in ("center_top1", "center_top5", "five_top1", "five_top5",
               "ten_top1", "ten_top5", "top1", "top5"):
-        assert np.isclose(mc[k], multi["multicrop"][k], atol=1e-9), (
-            "multicrop", k, mc, multi["multicrop"])
+        assert np.isclose(single["multicrop"][k], multi["multicrop"][k],
+                          atol=1e-9), (
+            "multicrop", k, single["multicrop"], multi["multicrop"])
     for k in ("top1", "top5"):
-        assert np.isclose(tt[k], multi["tenclip"][k], atol=1e-9), (
-            "tenclip", k, tt, multi["tenclip"])
-    single_cw = {int(k): v for k, v in tt["classwise"].items()}
-    multi_cw = {int(k): v for k, v in multi["tenclip"]["classwise"].items()}
-    assert single_cw == multi_cw, (single_cw, multi_cw)
-    print(f"eval protocols multi-host == single-host: "
-          f"multicrop {mc['ten_top1']:.4f}/{mc['ten_top5']:.4f}, "
-          f"tenclip {tt['top1']:.4f}/{tt['top5']:.4f}", flush=True)
+        assert np.isclose(single["tenclip"][k], multi["tenclip"][k],
+                          atol=1e-9), (
+            "tenclip", k, single["tenclip"], multi["tenclip"])
+    s_cw = {int(k): v for k, v in single["tenclip"]["classwise"].items()}
+    m_cw = {int(k): v for k, v in multi["tenclip"]["classwise"].items()}
+    assert s_cw == m_cw, (s_cw, m_cw)
+    print("eval protocols: 2-process == single-process "
+          f"(multicrop ten {multi['multicrop']['ten_top1']:.4f}, "
+          f"tenclip {multi['tenclip']['top1']:.4f})", flush=True)
 
 
 def main():
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # skip the axon relay for CPU workers
-    if os.path.exists(RESULT):
-        os.remove(RESULT)
+    for f in (RESULT_MULTI, RESULT_SINGLE):
+        if os.path.exists(f):
+            os.remove(f)
+    # oracle FIRST: warms the shared compile cache (see module docstring)
+    out = subprocess.run(
+        [sys.executable, "-u", __file__, "oracle"], env=env, timeout=1200)
+    assert out.returncode == 0
     procs = [
-        subprocess.Popen([sys.executable, __file__, "worker", str(i)], env=env)
+        subprocess.Popen([sys.executable, "-u", __file__, "worker", str(i)],
+                         env=env)
         for i in range(N_PROC)
     ]
     codes = [p.wait(timeout=1500) for p in procs]
     assert codes == [0] * N_PROC, codes
-    out = subprocess.run(
-        [sys.executable, __file__, "oracle"], env=env, timeout=900)
-    assert out.returncode == 0
+    _compare()
     print("multihost eval check PASSED")
 
 
