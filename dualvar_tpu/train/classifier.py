@@ -670,12 +670,22 @@ def main():
     p.add_argument("--fused_aug", default=None,
                    choices=[None, "auto", "on", "off"],
                    help="fused Pallas aug kernel (default auto: on for TPU)")
+    p.add_argument("--with_color_jitter", type=int, default=None,
+                   choices=[None, 0, 1],
+                   help="finetune-time color jitter (classifier.py:50)")
+    p.add_argument("--rand_flip", type=int, default=None,
+                   choices=[None, 0, 1],
+                   help="random horizontal flip in finetune aug "
+                        "(classifier.py:1015)")
     # dataset group
     p.add_argument("--dataset", default=None)
     p.add_argument("--which_split", type=int, default=None)
     p.add_argument("--seq_len", type=int, default=None)
+    p.add_argument("--num_seq", type=int, default=None)
     p.add_argument("--ds", type=int, default=None)
     p.add_argument("--img_dim", type=int, default=None)
+    p.add_argument("--img_resize_dim", type=int, default=None,
+                   help="host resize short side (classifier.py:58)")
     p.add_argument("-j", "--workers", type=int, default=None)
     p.add_argument("--fast_decode", type=int, default=None, choices=[None, 0, 1],
                    help="DCT-scaled JPEG decode (~1.35x faster host decode; "
@@ -707,16 +717,27 @@ def main():
             cfg, num_class=num_class_by_dataset.get(
                 args.dataset.split("-")[0], cfg.num_class))
     data = _override(cfg.data, args,
-                     ("dataset", "which_split", "seq_len", "ds", "img_dim",
-                      "workers", "data_root", "db_path"))
+                     ("dataset", "which_split", "seq_len", "num_seq", "ds",
+                      "img_dim", "workers", "data_root", "db_path"))
     if args.fast_decode is not None:
         data = dataclasses.replace(data, fast_decode=bool(args.fast_decode))
+    if args.img_resize_dim is not None:
+        # reference Scale(img_resize_dim) is a short-side resize; the static
+        # pipeline keeps the 4:3 source aspect at the new short side
+        r = args.img_resize_dim
+        data = dataclasses.replace(data, img_resize_dim=r,
+                                   scale_hw=(round(r * 171 / 128), r))
     if args.data_root or args.db_path:
         data = dataclasses.replace(data, synthetic=False)
+    aug = _override(cfg.aug, args, ("jitter_order", "fused_aug"))
+    for k in ("with_color_jitter", "rand_flip"):
+        v = getattr(args, k)
+        if v is not None:
+            aug = dataclasses.replace(aug, **{k: bool(v)})
     cfg = dataclasses.replace(
         cfg,
         data=data,
-        aug=_override(cfg.aug, args, ("jitter_order", "fused_aug")),
+        aug=aug,
         model=_override(cfg.model, args, ("net", "remat")),
         optim=_override(
             dataclasses.replace(

@@ -57,10 +57,15 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: PretrainConfig, steps_per_epoch: int):
     """SGD momentum 0.9 + decoupled-into-grad weight decay + MultiStepLR
-    gamma 0.1 (reference pretrain.py:272,328)."""
+    gamma 0.1 (reference pretrain.py:272,328). ``optim='adam'``: the
+    reference parses --optim (pretrain.py:128) but its optimizer is
+    hard-coded SGD (:272) — here the flag actually works (adamw, matching
+    the classifier driver's adam branch)."""
     o = cfg.optim
     boundaries = {e * steps_per_epoch: 0.1 for e in o.schedule}
     lr = optax.piecewise_constant_schedule(o.lr, boundaries)
+    if o.optim == "adam":
+        return optax.adamw(lr, weight_decay=o.wd), lr
     tx = optax.chain(
         optax.add_decayed_weights(o.wd),
         optax.sgd(lr, momentum=o.momentum),
@@ -367,6 +372,16 @@ def main():
                    choices=[None, "batch", "sample"],
                    help="color-jitter op-order granularity: 'sample' is the "
                         "reference-exact per-clip order (use for parity runs)")
+    p.add_argument("--aug_temp_consist", type=int, default=None,
+                   choices=[None, 0, 1],
+                   help="temporally-consistent color jitter (pretrain.py:124)")
+    p.add_argument("--aug_series", type=int, default=None,
+                   choices=[None, 0, 1],
+                   help="3-view series batch assembly (pretrain.py:125)")
+    p.add_argument("--rand_flip", type=int, default=None,
+                   choices=[None, 0, 1],
+                   help="random temporal flip of the second clip "
+                        "(pretrain.py:126)")
     p.add_argument("--fused_aug", default=None,
                    choices=[None, "auto", "on", "off"],
                    help="fused Pallas aug kernel (default auto: on for TPU)")
@@ -382,6 +397,9 @@ def main():
                    help="DCT-scaled JPEG decode (~1.35x faster host decode; "
                         "near-equal, not bitwise-PIL pixels)")
     # optim group
+    p.add_argument("--num_seq", type=int, default=None,
+                   help="clips per sample (pretrain.py:117)")
+    p.add_argument("--optim", default=None, choices=[None, "sgd", "adam"])
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--wd", type=float, default=None)
@@ -407,14 +425,19 @@ def main():
     cfg = PRETRAIN_PRESETS[args.preset]
     data = _override(cfg.data, args,
                      ("dataset", "data_root", "db_path", "seq_len", "ds",
-                      "img_dim", "workers"))
+                      "img_dim", "workers", "num_seq"))
     if args.fast_decode is not None:
         data = dataclasses.replace(data, fast_decode=bool(args.fast_decode))
     if args.data_root or args.db_path:
         data = dataclasses.replace(data, synthetic=False)
+    aug = _override(cfg.aug, args, ("jitter_order", "fused_aug"))
+    for k in ("aug_temp_consist", "aug_series", "rand_flip"):
+        v = getattr(args, k)
+        if v is not None:
+            aug = dataclasses.replace(aug, **{k: bool(v)})
     cfg = cfg.replace(
         data=data,
-        aug=_override(cfg.aug, args, ("jitter_order", "fused_aug")),
+        aug=aug,
         model=_override(cfg.model, args,
                         ("net", "model", "mode", "n_series", "series_dim",
                          "shufflerank_theta", "series_T", "aligned_T",
@@ -424,7 +447,8 @@ def main():
             dataclasses.replace(
                 cfg.optim,
                 schedule=tuple(args.schedule) if args.schedule else cfg.optim.schedule),
-            args, ("batch_size", "lr", "wd", "epochs", "start_epoch")),
+            args, ("batch_size", "lr", "wd", "epochs", "start_epoch",
+                   "optim")),
         run=dataclasses.replace(
             _override(cfg.run, args,
                       ("prefix", "name_prefix", "seed", "print_freq",
