@@ -70,7 +70,12 @@ def init_distributed() -> None:
     Must run before any other jax call: initialize() requires an
     uninitialized backend, so the launch-environment check reads env vars
     only. Already-initialized (an outer launcher called initialize, or a
-    second driver invocation in-process) is tolerated."""
+    second driver invocation in-process) is tolerated.
+
+    Also enables the persistent compilation cache — bring-up is the one
+    choke point every driver entry (train, test protocols) passes through
+    before the first compile."""
+    enable_compilation_cache()
     explicit = any(
         _plausible(os.environ.get(k, "")) for k in _EXPLICIT_COORD_VARS)
     auto = any(
@@ -112,6 +117,29 @@ def init_distributed() -> None:
             "jax.distributed.initialize() failed (%s); continuing "
             "single-host. Set JAX_COORDINATOR_ADDRESS explicitly for "
             "multi-host runs.", e)
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache for the drivers.
+
+    The fused train step takes tens of seconds to compile on TPU; the
+    reference pays the cuDNN autotune cost on every launch, but XLA can
+    persist compiled executables across processes — making restart,
+    resume-after-preemption, and the finetune→test→retrieval CLI chains
+    near-instant after the first run. Default dir /tmp/dualvar_tpu_jax_cache
+    (shared with bench/tests); override with DUALVAR_JAX_CACHE_DIR, disable
+    with DUALVAR_JAX_CACHE_DIR=off."""
+    env = os.environ.get("DUALVAR_JAX_CACHE_DIR", "")
+    if env.lower() in ("0", "off", "none", "disabled"):
+        return
+    path = cache_dir or env or "/tmp/dualvar_tpu_jax_cache"
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # an old jax without the flag: not worth failing
+        from dualvar_tpu.core.logging import get_logger
+
+        get_logger().warning("compilation cache unavailable (%s)", e)
 
 
 def data_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:

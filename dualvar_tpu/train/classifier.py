@@ -430,6 +430,7 @@ def _load_test_state(cfg: ClassifierConfig, model, logger):
 def test_multicrop(cfg: ClassifierConfig, protocol: str = "ten") -> dict[str, float]:
     """center/five/ten-crop test (reference test_10crop, classifier.py:545-654):
     average softmax probabilities over crop x flip combinations per video."""
+    init_distributed()
     exp_path = set_path(cfg)
     logger = get_logger(os.path.join(exp_path, "test_log"),
                         process_index=jax.process_index())
@@ -528,6 +529,7 @@ def test_multicrop(cfg: ClassifierConfig, protocol: str = "ten") -> dict[str, fl
 def test_temporal_tenclip(cfg: ClassifierConfig) -> dict[str, float]:
     """Temporal 10-clip center-crop test (reference temporal_test_10clip,
     classifier.py:657-738): per video, mean softmax over 10 uniform clips."""
+    init_distributed()
     exp_path = set_path(cfg)
     logger = get_logger(os.path.join(exp_path, "temporal_10_test_log"),
                         process_index=jax.process_index())
@@ -597,6 +599,7 @@ def extract_tenclip_features(cfg, model, params, batch_stats, mode, aug_cfg):
 
 def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
     """k-NN video retrieval (reference test_retrieval, classifier.py:787-995)."""
+    init_distributed()
     exp_path = set_path(cfg)
     logger = get_logger(os.path.join(exp_path, "test_retrieval_log"),
                         process_index=jax.process_index())
