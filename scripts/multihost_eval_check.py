@@ -75,10 +75,10 @@ def _tiny_cfg(prefix: str):
     )
 
 
-def worker(pid: int):
+def worker(pid: int, port: int = PORT):
     jax = _env_setup()
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
+        coordinator_address=f"localhost:{port}",
         num_processes=N_PROC,
         process_id=pid,
     )
@@ -152,29 +152,32 @@ def _compare():
 
 
 def main():
+    from _mh_launch import run_workers
+
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # skip the axon relay for CPU workers
-    for f in (RESULT_MULTI, RESULT_SINGLE):
-        if os.path.exists(f):
-            os.remove(f)
+
+    def _clear_results():
+        for f in (RESULT_MULTI,):
+            if os.path.exists(f):
+                os.remove(f)
+
+    if os.path.exists(RESULT_SINGLE):
+        os.remove(RESULT_SINGLE)
     # oracle FIRST: warms the shared compile cache (see module docstring)
     out = subprocess.run(
         [sys.executable, "-u", __file__, "oracle"], env=env, timeout=1200)
     assert out.returncode == 0
-    procs = [
-        subprocess.Popen([sys.executable, "-u", __file__, "worker", str(i)],
-                         env=env)
-        for i in range(N_PROC)
-    ]
-    codes = [p.wait(timeout=1500) for p in procs]
-    assert codes == [0] * N_PROC, codes
+    run_workers(__file__, N_PROC, PORT, per_attempt_timeout=900, env=env,
+                pre_attempt=_clear_results)
     _compare()
     print("multihost eval check PASSED")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
-        worker(int(sys.argv[2]))
+        worker(int(sys.argv[2]),
+               int(sys.argv[3]) if len(sys.argv) > 3 else PORT)
     elif len(sys.argv) > 1 and sys.argv[1] == "oracle":
         oracle()
     else:

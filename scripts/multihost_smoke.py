@@ -25,7 +25,7 @@ DEV_PER_PROC = 4
 PORT = 12597
 
 
-def worker(pid: int):
+def worker(pid: int, port: int = PORT):
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={DEV_PER_PROC}"
@@ -35,7 +35,7 @@ def worker(pid: int):
     jax.config.update("jax_compilation_cache_dir", "/tmp/dualvar_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
+        coordinator_address=f"localhost:{port}",
         num_processes=N_PROC,
         process_id=pid,
     )
@@ -151,19 +151,18 @@ def worker(pid: int):
 
 
 def main():
+    from _mh_launch import run_workers
+
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # skip the axon relay for CPU workers
-    procs = [
-        subprocess.Popen([sys.executable, __file__, "worker", str(i)], env=env)
-        for i in range(N_PROC)
-    ]
-    codes = [p.wait(timeout=900) for p in procs]
-    assert codes == [0] * N_PROC, codes
+    # two attempts x 560s fit inside the pytest wrapper's 1200s envelope
+    run_workers(__file__, N_PROC, PORT, per_attempt_timeout=560, env=env)
     print("multihost smoke PASSED")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
-        worker(int(sys.argv[2]))
+        worker(int(sys.argv[2]),
+               int(sys.argv[3]) if len(sys.argv) > 3 else PORT)
     else:
         main()

@@ -19,7 +19,9 @@ def test_two_process_distributed_smoke():
         # runs two python subprocesses — under a concurrently running suite
         # it overruns 570s (observed twice). The multicrop/tenclip phases
         # were split into test_two_process_eval_protocol_equivalence to
-        # keep this inside its envelope.
+        # keep this inside its envelope. The script itself retries the
+        # 2-process launch once on a fresh port (scripts/_mh_launch.py) —
+        # 2 x 560s attempts fit under this timeout.
         capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
@@ -36,7 +38,8 @@ def test_two_process_eval_protocol_equivalence():
     out = subprocess.run(
         [sys.executable,
          os.path.join(REPO, "scripts", "multihost_eval_check.py")],
-        capture_output=True, text=True, timeout=2400, env=env, cwd=REPO,
+        # oracle (<=1200s) + two 900s worker attempts (_mh_launch retry)
+        capture_output=True, text=True, timeout=3200, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "multihost eval check PASSED" in out.stdout
