@@ -56,6 +56,7 @@ __all__ = [
     "extract_backbone_state",
     "backbone_from_torch",
     "classifier_from_torch",
+    "ssl_from_torch",
     "load_torch_checkpoint",
 ]
 
@@ -263,6 +264,73 @@ def classifier_from_torch(
     return params, stats
 
 
+def _mlp_head_from_conv1x1(sd: dict, prefix: str, i0: int, i1: int) -> dict:
+    """Two 1x1x1 Conv3d layers (the reference projection heads,
+    model/simclr.py:46-50,176-180) -> our MLPHead {fc1, fc2} Dense params.
+    A 1x1x1 conv on pooled (B, C, 1, 1, 1) features IS a Dense layer:
+    weight (O, I, 1, 1, 1) -> kernel (I, O)."""
+    head = {}
+    for name, idx in (("fc1", i0), ("fc2", i1)):
+        w = np.asarray(sd[f"{prefix}.{idx}.weight"])
+        head[name] = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
+        b = sd.get(f"{prefix}.{idx}.bias")
+        if b is not None:
+            head[name]["bias"] = np.asarray(b)
+    return head
+
+
+def ssl_from_torch(sd: dict[str, np.ndarray], net: str) -> dict:
+    """Full reference SSL-model state_dict -> our pretrain TrainState
+    fields ``{params, batch_stats[, moco]}`` (weights-only — optimizer
+    state starts fresh, matching --pretrain semantics).
+
+    Handles all four families: the query encoder (``encoder_q.0`` backbone
+    + ``encoder_q.{2,4}`` clip head, model/simclr.py:42-50) and series head
+    (``series_proj_head[_q].{0,2}``, model/simclr.py:176-180 /
+    model/moco.py:288-292); for MoCo additionally the key encoder
+    (``encoder_k.*``, ``series_proj_head_k.*``) and the negative queues +
+    pointer (``queue`` (dim, K) -> ours (K, dim); ``series_queue``
+    (n_series*series_dim, K) -> (K, n_series*series_dim) — both sides are
+    n_series-major, moco.py:319-323 / models/ssl/moco.py init;
+    ``queue_ptr`` -> scalar int32)."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+
+    def encoder(prefix: str, series_prefix: str):
+        bb = {k.removeprefix(prefix + ".0."): v
+              for k, v in sd.items() if k.startswith(prefix + ".0.")}
+        if not bb:
+            return None, None
+        p, s = backbone_from_torch(bb, net)
+        params = {"backbone": p}
+        stats = {"backbone": s}
+        if f"{prefix}.2.weight" in sd:
+            params["clip_head"] = _mlp_head_from_conv1x1(sd, prefix, 2, 4)
+        if f"{series_prefix}.0.weight" in sd:
+            params["series_head"] = _mlp_head_from_conv1x1(
+                sd, series_prefix, 0, 2)
+        return params, stats
+
+    is_moco = any(k.startswith("encoder_k.") for k in sd)
+    q_series = "series_proj_head_q" if is_moco else "series_proj_head"
+    params, stats = encoder("encoder_q", q_series)
+    if params is None:
+        raise ValueError("no 'encoder_q.0.' keys — not an SSL pretrain ckpt")
+    out = {"params": params, "batch_stats": stats}
+    if is_moco:
+        params_k, stats_k = encoder("encoder_k", "series_proj_head_k")
+        moco = {"params_k": params_k, "batch_stats_k": stats_k}
+        if "queue" in sd:
+            moco["queue"] = np.ascontiguousarray(np.asarray(sd["queue"]).T)
+        if "series_queue" in sd:
+            moco["series_queue"] = np.ascontiguousarray(
+                np.asarray(sd["series_queue"]).T)
+        if "queue_ptr" in sd:
+            moco["ptr"] = np.asarray(sd["queue_ptr"]).reshape(()).astype(
+                np.int32)
+        out["moco"] = moco
+    return out
+
+
 # ----------------------------------------------------------------- validate
 
 def _validate_backbone(params: dict, stats: dict, net: str, logger=None):
@@ -301,7 +369,11 @@ def main(argv=None):
     p.add_argument("--out", required=True,
                    help="output CheckpointStore directory")
     p.add_argument("--what", default="auto",
-                   choices=["auto", "backbone", "classifier"])
+                   choices=["auto", "backbone", "classifier", "ssl"],
+                   help="backbone: encoder backbone only (for --pretrain in "
+                        "the classifier); ssl: full SSL model incl. heads, "
+                        "key encoder, and queues (for --pretrain in the "
+                        "pretrain driver); classifier: finetuned model")
     p.add_argument("--no_validate", action="store_true",
                    help="skip the strict shape/path validation "
                         "(backbone mode only)")
@@ -326,6 +398,8 @@ def main(argv=None):
             params, stats = _validate_backbone(params, stats, args.net, logger)
         state = {"params": {"backbone": params},
                  "batch_stats": {"backbone": stats}}
+    elif what == "ssl":
+        state = ssl_from_torch(stripped, args.net)
     else:
         params, stats = classifier_from_torch(stripped, args.net)
         state = {"params": params, "batch_stats": stats}

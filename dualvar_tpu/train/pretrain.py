@@ -28,7 +28,7 @@ import optax
 from flax import struct
 
 from ..aug.pipeline import AugConfig, pretrain_batch
-from ..core.checkpoint import CheckpointStore
+from ..core.checkpoint import CheckpointStore, merge_matching_leaves
 from ..core.config import PRETRAIN_PRESETS, PretrainConfig
 from ..core.logging import get_logger
 from ..core.mesh import (data_mesh_for_batch, init_distributed, make_mesh,
@@ -53,6 +53,45 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     moco: Any
     opt_state: Any
+
+
+def _load_pretrain_weights(state: "TrainState", path: str, logger) -> "TrainState":
+    """Tolerant weights-only load into a fresh TrainState: params, BN stats,
+    and MoCo state (key-encoder params/stats by matching leaves; queue /
+    series_queue / ptr by matching shape). Optimizer state and step are left
+    at init — the reference's --pretrain semantics (pretrain.py:306-319 +
+    neq_load_customized, utils/utils.py:112-137). Accepts our own pretrain
+    checkpoints and reference imports written by core/convert.py."""
+    pre = CheckpointStore(path).restore()  # template-free raw tree
+    updates = {}
+    for field in ("params", "batch_stats"):
+        src = pre.get(field)
+        if src is not None:
+            merged, _ = merge_matching_leaves(
+                getattr(state, field), src, logger, prefix=field + " ")
+            updates[field] = merged
+    src_moco = pre.get("moco")
+    if state.moco is not None and isinstance(src_moco, dict):
+        m = state.moco
+        mupd = {}
+        for f in ("params_k", "batch_stats_k"):
+            s = src_moco.get(f)
+            if s is not None and getattr(m, f) is not None:
+                merged, _ = merge_matching_leaves(
+                    getattr(m, f), s, logger, prefix=f"moco.{f} ")
+                mupd[f] = merged
+        for f in ("queue", "series_queue", "ptr"):
+            s = src_moco.get(f)
+            d = getattr(m, f)
+            if s is not None and d is not None:
+                if tuple(np.shape(s)) == tuple(np.shape(d)):
+                    mupd[f] = jnp.asarray(np.asarray(s), d.dtype)
+                elif logger:
+                    logger.info(
+                        f"  moco.{f} shape {np.shape(s)} != {np.shape(d)}, "
+                        "kept init")
+        updates["moco"] = m.replace(**mupd)
+    return state.replace(**updates)
 
 
 def make_optimizer(cfg: PretrainConfig, steps_per_epoch: int):
@@ -244,6 +283,15 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
             logger.info(f"=> resumed from epoch {last}")
         else:
             logger.info("[warning] no checkpoint found, training from scratch")
+    elif cfg.run.pretrain:
+        # weights-only load: model params / BN stats / MoCo state from a
+        # checkpoint (ours, or one imported from the reference via
+        # core/convert.py); optimizer and epoch start fresh — the
+        # reference's --pretrain semantics (pretrain.py:306-319) with
+        # neq_load_customized's tolerant partial matching
+        state = _load_pretrain_weights(state, cfg.run.pretrain, logger)
+        state = jax.device_put(state, replicated(mesh))
+        logger.info(f"=> loaded pretrain weights from '{cfg.run.pretrain}'")
 
     writer = (MetricsWriter(os.path.join(exp_path, "img", "pretrain"))
               if jax.process_index() == 0 else None)

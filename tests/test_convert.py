@@ -299,3 +299,132 @@ def test_convert_cli_roundtrip(tmp_path):
     )
     np.testing.assert_allclose(
         np.asarray(grafted["params"]["backbone"]["conv1"]["kernel"]), kernel)
+
+
+def _r3d_ssl_reference_sd(seed, dim=8, n_series=2, series_dim=4, K=16):
+    """Synthesize a full reference MoCo_TimeSeriesV4 state_dict
+    (model/moco.py:275-323): encoder_q/k = [backbone, pool, conv1x1, relu,
+    conv1x1], series_proj_head_{q,k}, queue/series_queue (dim-major) and
+    queue_ptr."""
+    torch.manual_seed(seed)
+    fs = 512
+    parts = {}
+    torch_modules = {}
+    for enc in ("encoder_q", "encoder_k"):
+        bb = TorchR3D().eval()
+        _randomize_bn(bb)
+        torch_modules[enc] = bb
+        for k, v in _r3d_reference_sd(bb).items():
+            parts[f"{enc}.0.{k}"] = v
+        for idx, (cin, cout) in (("2", (fs, fs)), ("4", (fs, dim))):
+            conv = torch.nn.Conv3d(cin, cout, 1, bias=True)
+            torch_modules[f"{enc}.{idx}"] = conv
+            parts[f"{enc}.{idx}.weight"] = conv.weight.detach().numpy()
+            parts[f"{enc}.{idx}.bias"] = conv.bias.detach().numpy()
+    for head in ("series_proj_head_q", "series_proj_head_k"):
+        for idx, (cin, cout) in (("0", (fs, fs)),
+                                 ("2", (fs, series_dim * n_series))):
+            conv = torch.nn.Conv3d(cin, cout, 1, bias=True)
+            torch_modules[f"{head}.{idx}"] = conv
+            parts[f"{head}.{idx}.weight"] = conv.weight.detach().numpy()
+            parts[f"{head}.{idx}.bias"] = conv.bias.detach().numpy()
+    rs = np.random.RandomState(seed)
+    parts["queue"] = rs.rand(dim, K).astype(np.float32)
+    parts["series_queue"] = rs.rand(series_dim * n_series, K).astype(np.float32)
+    parts["queue_ptr"] = np.array([4], np.int64)
+    return parts, torch_modules
+
+
+def test_convert_ssl_moco_tsv4_state():
+    """Full MoCo TimeSeriesV4 import: heads, key encoder, queues, pointer —
+    strict tree match against task.init plus numeric head parity."""
+    from dualvar_tpu.core.config import ModelConfig
+    from dualvar_tpu.core.convert import ssl_from_torch
+    from dualvar_tpu.train.tasks import make_task
+
+    sd, tmods = _r3d_ssl_reference_sd(20)
+    out = ssl_from_torch(sd, "r3d")
+
+    cfg = ModelConfig(net="r3d", model="moco_timeseriesv4", dtype="float32",
+                      moco_dim=8, moco_k=16, n_series=2, series_dim=4)
+    task = make_task(cfg)
+    example = jnp.zeros((4, task.n_views, 4, 32, 32, 3), jnp.float32)
+    t = task.init(jax.random.PRNGKey(0), example)
+
+    def _strict(dst, src):
+        merged, _ = merge_matching_leaves(
+            jax.tree.map(np.asarray, dst), src, strict=True)
+        return merged
+
+    params = _strict(t.params, out["params"])
+    _strict(t.batch_stats, out["batch_stats"])
+    _strict(t.moco.params_k, out["moco"]["params_k"])
+    _strict(t.moco.batch_stats_k, out["moco"]["batch_stats_k"])
+    assert out["moco"]["queue"].shape == t.moco.queue.shape
+    assert out["moco"]["series_queue"].shape == t.moco.series_queue.shape
+    np.testing.assert_allclose(out["moco"]["queue"], sd["queue"].T)
+    assert int(out["moco"]["ptr"]) == 4
+
+    # numeric: the 1x1x1-conv head == our MLPHead on pooled features
+    from dualvar_tpu.models.heads import MLPHead
+
+    x = np.random.RandomState(20).rand(3, 512).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x)[:, :, None, None, None]
+        yt = tmods["encoder_q.4"](
+            torch.relu(tmods["encoder_q.2"](xt))).numpy().reshape(3, 8)
+    yj = MLPHead(8).apply({"params": params["clip_head"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yj), yt, atol=1e-5, rtol=1e-5)
+
+
+def test_pretrain_weights_load_roundtrip(tmp_path):
+    """_load_pretrain_weights restores a converted SSL state (and our own
+    saved TrainState) into a fresh TrainState: weights/queues load, step and
+    optimizer stay at init (reference --pretrain semantics,
+    pretrain.py:306-319)."""
+    import optax
+
+    from dualvar_tpu.core.config import ModelConfig
+    from dualvar_tpu.core.convert import ssl_from_torch
+    from dualvar_tpu.train.pretrain import TrainState, _load_pretrain_weights
+    from dualvar_tpu.train.tasks import make_task
+
+    sd, _ = _r3d_ssl_reference_sd(21)
+    out = ssl_from_torch(sd, "r3d")
+    store_dir = os.path.join(tmp_path, "converted")
+    store = CheckpointStore(store_dir)
+    store.save(0, out)
+    store.close()
+
+    cfg = ModelConfig(net="r3d", model="moco_timeseriesv4", dtype="float32",
+                      moco_dim=8, moco_k=16, n_series=2, series_dim=4)
+    task = make_task(cfg)
+    example = jnp.zeros((4, task.n_views, 4, 32, 32, 3), jnp.float32)
+    t = task.init(jax.random.PRNGKey(1), example)
+    tx = optax.sgd(0.1, momentum=0.9)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=t.params,
+                       batch_stats=t.batch_stats, moco=t.moco,
+                       opt_state=tx.init(t.params))
+
+    loaded = _load_pretrain_weights(state, store_dir, None)
+    np.testing.assert_allclose(
+        np.asarray(loaded.params["backbone"]["conv1"]["kernel"]),
+        out["params"]["backbone"]["conv1"]["kernel"])
+    np.testing.assert_allclose(np.asarray(loaded.moco.queue), sd["queue"].T)
+    np.testing.assert_allclose(
+        np.asarray(loaded.moco.params_k["clip_head"]["fc2"]["kernel"]),
+        out["moco"]["params_k"]["clip_head"]["fc2"]["kernel"])
+    assert int(loaded.moco.ptr) == 4
+    assert int(loaded.step) == 0
+
+    # our own full TrainState round-trips through the same path (the
+    # cross-experiment reuse case): struct fields restore as dicts
+    own_dir = os.path.join(tmp_path, "own")
+    store2 = CheckpointStore(own_dir)
+    store2.save(3, loaded)
+    store2.close()
+    re = _load_pretrain_weights(state, own_dir, None)
+    np.testing.assert_allclose(np.asarray(re.moco.queue), sd["queue"].T)
+    np.testing.assert_allclose(
+        np.asarray(re.params["backbone"]["conv1"]["kernel"]),
+        out["params"]["backbone"]["conv1"]["kernel"])
