@@ -57,6 +57,8 @@ __all__ = [
     "backbone_from_torch",
     "classifier_from_torch",
     "ssl_from_torch",
+    "backbone_to_torch",
+    "classifier_to_torch",
     "load_torch_checkpoint",
 ]
 
@@ -331,6 +333,132 @@ def ssl_from_torch(sd: dict[str, np.ndarray], net: str) -> dict:
     return out
 
 
+# ------------------------------------------------------------------ export
+# The reverse direction: our variable trees -> reference-format torch
+# state_dicts, so a TPU-pretrained backbone can be consumed by the torch
+# ecosystem (the reference's own classifier.py:357-376 load path included).
+
+def _inv_r3d(mod: str, kind: str) -> str:
+    m = re.match(r"^layer(\d)_block(\d+)\.", mod)
+    if m:
+        li, bi = int(m.group(1)), int(m.group(2))
+        tail = mod[m.end():]
+        mod = (f"conv{li + 1}.block1." if bi == 0
+               else f"conv{li + 1}.blocks.{bi - 1}.") + tail
+    mod = mod.replace("downsample_conv", "downsampleconv")
+    mod = mod.replace("downsample_bn", "downsamplebn")
+    if kind == "conv5d":
+        mod += ".temporal_spatial_conv"
+    return mod
+
+
+def _inv_r21d(mod: str, kind: str) -> str:
+    m = re.match(r"^layer(\d)_block(\d+)\.", mod)
+    if m:
+        li, bi = int(m.group(1)), int(m.group(2))
+        tail = mod[m.end():]
+        mod = (f"conv{li + 1}.block1." if bi == 0
+               else f"conv{li + 1}.blocks.{bi - 1}.") + tail
+    mod = mod.replace("downsample_conv", "downsampleconv")
+    return mod.replace("downsample_bn", "downsamplebn")
+
+
+def _inv_c3d(mod: str, kind: str) -> str:
+    return mod
+
+
+def _inv_s3d(mod: str, kind: str) -> str:
+    mod = re.sub(r"\bbranch0\b", "branch0.0", mod)
+    return re.sub(r"\bbranch([123])_(\d)\b", r"branch\1.\2", mod)
+
+
+def _inv_r2d3d(mod: str, kind: str) -> str:
+    m = re.match(r"^layer(\d)_block(\d+)\.", mod)
+    if m:
+        mod = f"layer{m.group(1)}.{m.group(2)}." + mod[m.end():]
+    mod = mod.replace("downsample_conv", "downsample.0")
+    return mod.replace("downsample_bn", "downsample.1")
+
+
+_INV_MAPPERS: dict[str, Callable[[str, str], str]] = {
+    "r3d": _inv_r3d,
+    "r21d": _inv_r21d,
+    "c3d": _inv_c3d,
+    "s3d": _inv_s3d,
+    "s3dg": _inv_s3d,
+    "r2d3d18": _inv_r2d3d,
+    "r50": _inv_r2d3d,
+}
+
+
+def _flatten(tree: dict, prefix: str = ""):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + k + ".")
+        else:
+            yield prefix + k, v
+
+
+def backbone_to_torch(
+    params: dict, batch_stats: dict, net: str
+) -> dict[str, np.ndarray]:
+    """Our backbone (params, batch_stats) -> a reference-format torch
+    state_dict (inverse of backbone_from_torch; round-trip pinned by
+    tests/test_convert.py). ``num_batches_tracked`` is emitted as 0 for
+    every BN so strict torch load_state_dict works."""
+    if net not in _INV_MAPPERS:
+        raise NotImplementedError(f"no torch export for backbone {net!r}")
+    inv = _INV_MAPPERS[net]
+    out: dict[str, np.ndarray] = {}
+    for path, v in _flatten(params):
+        mod, leaf = path.rsplit(".", 1)
+        v = np.asarray(v)
+        if mod.endswith(".bn"):  # our BatchNorm wrapper nesting
+            tmod = inv(mod[:-3], "bn")
+            out[tmod + (".weight" if leaf == "scale" else ".bias")] = v
+        elif leaf == "kernel":
+            if v.ndim == 5:
+                out[inv(mod, "conv5d") + ".weight"] = np.ascontiguousarray(
+                    v.transpose(4, 3, 0, 1, 2))
+            else:
+                out[inv(mod, "dense") + ".weight"] = np.ascontiguousarray(v.T)
+        elif leaf == "bias":
+            out[inv(mod, "dense") + ".bias"] = v
+        else:
+            raise ValueError(f"unhandled param leaf {path!r}")
+    for path, v in _flatten(batch_stats):
+        mod, leaf = path.rsplit(".", 1)
+        if not mod.endswith(".bn") or leaf not in ("mean", "var"):
+            raise ValueError(f"unhandled batch_stats leaf {path!r}")
+        tmod = inv(mod[:-3], "bn")
+        out[tmod + ".running_" + leaf] = np.asarray(v)
+        out.setdefault(tmod + ".num_batches_tracked", np.zeros((), np.int64))
+    return out
+
+
+def classifier_to_torch(
+    params: dict, batch_stats: dict, net: str
+) -> dict[str, np.ndarray]:
+    """Our LinearClassifier tree -> reference classifier state_dict
+    (backbone.* + final_bn.* + final_fc.1.* — the use_dropout layout,
+    model/classifier.py:34-37)."""
+    out = {"backbone." + k: v for k, v in backbone_to_torch(
+        params["backbone"], batch_stats.get("backbone", {}), net).items()}
+    fc = params["final_fc"]
+    out["final_fc.1.weight"] = np.ascontiguousarray(np.asarray(fc["kernel"]).T)
+    if "bias" in fc:
+        out["final_fc.1.bias"] = np.asarray(fc["bias"])
+    if "final_bn" in params:
+        out["final_bn.weight"] = np.asarray(params["final_bn"]["scale"])
+        out["final_bn.bias"] = np.asarray(params["final_bn"]["bias"])
+        out["final_bn.running_mean"] = np.asarray(
+            batch_stats["final_bn"]["mean"])
+        out["final_bn.running_var"] = np.asarray(
+            batch_stats["final_bn"]["var"])
+        out["final_bn.num_batches_tracked"] = np.zeros((), np.int64)
+    return out
+
+
 # ----------------------------------------------------------------- validate
 
 def _validate_backbone(params: dict, stats: dict, net: str, logger=None):
@@ -377,8 +505,39 @@ def main(argv=None):
     p.add_argument("--no_validate", action="store_true",
                    help="skip the strict shape/path validation "
                         "(backbone mode only)")
+    p.add_argument("--reverse", action="store_true",
+                   help="export instead of import: --ckpt is one of OUR "
+                        "CheckpointStore dirs, --out a torch .pth.tar in the "
+                        "reference's format (pretrain-style encoder_q.0.* "
+                        "for backbone, classifier-style otherwise)")
     args = p.parse_args(argv)
     logger = get_logger()
+
+    if args.reverse:
+        import torch
+
+        from .checkpoint import CheckpointStore as _Store
+
+        store = _Store(args.ckpt)
+        state = store.restore()
+        epoch = store.latest_epoch() or 0
+        store.close()
+        if args.what in ("auto", "backbone"):
+            sd = {"encoder_q.0." + k: v for k, v in backbone_to_torch(
+                state["params"]["backbone"],
+                state.get("batch_stats", {}).get("backbone", {}),
+                args.net).items()}
+        else:
+            sd = classifier_to_torch(state["params"],
+                                     state.get("batch_stats", {}), args.net)
+        torch.save(
+            {"epoch": epoch,
+             "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd.items()}},
+            args.out)
+        logger.info(f"exported {len(sd)} torch tensors (epoch {epoch}) "
+                    f"to '{args.out}'")
+        return
 
     sd, epoch = load_torch_checkpoint(args.ckpt)
     stripped = {k.removeprefix("module."): v for k, v in sd.items()}

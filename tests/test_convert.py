@@ -428,3 +428,77 @@ def test_pretrain_weights_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(re.params["backbone"]["conv1"]["kernel"]),
         out["params"]["backbone"]["conv1"]["kernel"])
+
+
+def _roundtrip_check(net, ref_sd, skip=()):
+    """ref torch sd -> our trees -> exported torch sd must reproduce every
+    key and value exactly (conv transposes are lossless)."""
+    from dualvar_tpu.core.convert import backbone_to_torch
+
+    params, stats = backbone_from_torch(ref_sd, net)
+    back = backbone_to_torch(params, stats, net)
+    want = {k: v for k, v in ref_sd.items()
+            if not k.endswith("num_batches_tracked")
+            and not any(k.startswith(s) for s in skip)}
+    got = {k: v for k, v in back.items()
+           if not k.endswith("num_batches_tracked")}
+    assert sorted(got) == sorted(want), (
+        sorted(set(got) ^ set(want))[:10])
+    for k, v in want.items():
+        np.testing.assert_array_equal(got[k], np.asarray(v), err_msg=k)
+
+
+def test_export_roundtrip_all_families():
+    torch.manual_seed(30)
+    for net, build, make_sd, skip in [
+        ("r3d", TorchR3D, _r3d_reference_sd, ()),
+        ("r21d", TorchR21D, _r21d_reference_sd, ()),
+        ("c3d", TorchC3D, _c3d_reference_sd, ()),
+        ("s3dg", lambda: TorchS3DFull(gating=True), _s3dg_reference_sd,
+         ("block",)),
+        ("r2d3d18", TorchR2D3D18, _r2d3d18_reference_sd, ()),
+    ]:
+        tm = build().eval()
+        _randomize_bn(tm)
+        _roundtrip_check(net, make_sd(tm), skip=skip)
+
+
+def test_export_cli_reverse(tmp_path):
+    """--reverse: one of our CheckpointStore dirs -> a reference-format
+    .pth.tar that re-imports to the identical tree."""
+    from dualvar_tpu.core import convert
+    from dualvar_tpu.core.convert import backbone_to_torch
+
+    torch.manual_seed(31)
+    tm = TorchR3D().eval()
+    _randomize_bn(tm)
+    ref_sd = _r3d_reference_sd(tm)
+    params, stats = backbone_from_torch(ref_sd, "r3d")
+    store_dir = os.path.join(tmp_path, "store")
+    store = CheckpointStore(store_dir)
+    store.save(7, {"params": {"backbone": params},
+                   "batch_stats": {"backbone": stats}})
+    store.close()
+
+    out_pth = os.path.join(tmp_path, "exported.pth.tar")
+    convert.main(["--ckpt", store_dir, "--net", "r3d", "--out", out_pth,
+                  "--reverse"])
+    raw = torch.load(out_pth, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 7
+    assert any(k.startswith("encoder_q.0.") for k in raw["state_dict"])
+    # re-import closes the loop
+    sd2 = {k: v.numpy() for k, v in raw["state_dict"].items()}
+    bb = extract_backbone_state(sd2)
+    params2, stats2 = backbone_from_torch(bb, "r3d")
+    for (k1, v1), (k2, v2) in zip(
+            sorted(_flat(params)), sorted(_flat(params2))):
+        assert k1 == k2
+        np.testing.assert_array_equal(v1, v2, err_msg=k1)
+
+
+def _flat(tree, prefix=""):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flat(v, prefix + k + ".")
+        else:
+            yield prefix + k, np.asarray(v)
