@@ -281,8 +281,14 @@ def main():
     aug_info = aug_fused_device_check()
     _STAGE["stage"] = "train_step"
 
-    B, T, H0, W0 = 128, 16, 171, 128
+    # B=128 is the measured throughput frontier on v5e: B=192 fits once the
+    # fused aug kernel removed the staged f32 intermediates, but scales
+    # sublinearly (472.7 vs 307.3 ms best-of-3 = 812 vs 833 clips/s, round 4;
+    # an earlier 923 clips/s reading was an RTT-overcorrection artifact).
+    # The candidate list keeps an OOM fallback for smaller-HBM parts.
+    T, H0, W0 = 16, 171, 128
     img = 112
+    batch_candidates = (128, 64)
     model = SimCLRNaked(network="r3d", dim=128, temperature=0.07,
                         dtype=jnp.bfloat16)
     # fused Pallas aug kernel (ops/aug_fused.py): one VMEM-resident pass for
@@ -292,16 +298,12 @@ def main():
                         jitter_order="sample")  # driver default
 
     rng = jax.random.PRNGKey(0)
-    example = jnp.zeros((B, 2, T, img, img, 3), jnp.float32)
+    example = jnp.zeros((1, 2, T, img, img, 3), jnp.float32)
     variables = model.init({"params": rng}, example, train=True)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     tx = optax.chain(optax.add_decayed_weights(1e-4),
                      optax.sgd(0.003, momentum=0.9))
     opt_state = tx.init(params)
-
-    frames = jax.device_put(
-        np.random.default_rng(0).integers(0, 255, (B, 2 * T, H0, W0, 3),
-                                          dtype=np.uint8))
 
     def train_step(params, batch_stats, opt_state, frames_u8, key):
         block = P.pretrain_batch(key, frames_u8, aug_cfg)
@@ -318,17 +320,20 @@ def main():
 
     step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
-    # forward-FLOP estimate from XLA for the baseline model
+    # forward-FLOP estimate from XLA for the baseline model (per-clip, so any
+    # batch size gives the same denominator; use the first candidate)
     def fwd_only(p, bs, block):
         ret, _ = model.apply({"params": p, "batch_stats": bs}, block,
                              train=True, mutable=["batch_stats"])
         return total_loss(ret)
 
     try:
-        block_shape = jax.ShapeDtypeStruct((B, 2, T, img, img, 3), jnp.float32)
+        bc = batch_candidates[0]
+        block_shape = jax.ShapeDtypeStruct((bc, 2, T, img, img, 3),
+                                           jnp.float32)
         cost = jax.jit(fwd_only).lower(params, batch_stats, block_shape) \
             .compile().cost_analysis()
-        f_fwd_total = float(cost.get("flops", 0.0))
+        f_fwd_total = float(cost.get("flops", 0.0)) / bc
     except Exception as e:  # cost analysis is best-effort
         log("cost_analysis failed:", e)
         f_fwd_total = 0.0
@@ -340,9 +345,25 @@ def main():
     # waits on all of them) with a single final float(), minus a measured RTT.
     key = jax.random.PRNGKey(1)
     _STAGE["stage"] = "compile"
-    params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state,
-                                                frames, key)
-    log("compiled; warmup loss", float(loss))
+    for B in batch_candidates:
+        frames = jax.device_put(
+            np.random.default_rng(0).integers(0, 255, (B, 2 * T, H0, W0, 3),
+                                              dtype=np.uint8))
+        try:
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, frames, key)
+            log(f"compiled B={B}; warmup loss", float(loss))
+            break
+        except Exception as e:
+            # donated args are consumed even on failure paths; rebuild state
+            if B == batch_candidates[-1]:
+                raise
+            log(f"B={B} failed ({type(e).__name__}: {str(e)[:200]}); "
+                f"falling back")
+            variables = model.init({"params": rng}, example, train=True)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+            opt_state = tx.init(params)
     _STAGE["stage"] = "timing"
 
     rtts = []
@@ -373,7 +394,7 @@ def main():
         f"{clips_per_sec:.1f} clips/s, final loss {final:.3f}")
 
     if f_fwd_total > 0:
-        f_fwd_per_clip = f_fwd_total / (B * 2)
+        f_fwd_per_clip = f_fwd_total / 2  # f_fwd_total is per-sample (2 views)
         a100_est = 0.45 * 156e12 / (3.0 * f_fwd_per_clip)
         # the denominator is ANALYTIC; its one free parameter is the assumed
         # A100 TF32 utilisation. Publish the sensitivity band so the ratio
@@ -433,6 +454,7 @@ def main():
         "vs_baseline": round(clips_per_sec / a100_est, 3)
         if a100_est == a100_est else None,
         **a100_band,
+        "batch_size": B,
         "backend": jax.default_backend(),
         **softdtw_info,
         **aug_info,

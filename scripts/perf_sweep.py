@@ -25,10 +25,11 @@ from dualvar_tpu.models.ssl.simclr import SimCLRNaked
 from dualvar_tpu.train.tasks import total_loss
 
 
-def bench(B, n=20, T=16, H0=171, W0=128, img=112, remat=False, net="r3d"):
+def bench(B, n=20, T=16, H0=171, W0=128, img=112, remat=False, net="r3d",
+          out_dtype="float32"):
     model = SimCLRNaked(network=net, dim=128, temperature=0.07,
                         dtype=jnp.bfloat16)
-    aug_cfg = AugConfig(img_dim=img, seq_len=T)
+    aug_cfg = AugConfig(img_dim=img, seq_len=T, out_dtype=out_dtype)
     rng = jax.random.PRNGKey(0)
     small = jnp.zeros((1, 2, T, 32, 32, 3), jnp.float32)
     variables = model.init({"params": rng}, small, train=True)
@@ -67,9 +68,14 @@ def bench(B, n=20, T=16, H0=171, W0=128, img=112, remat=False, net="r3d"):
     params, bs, opt, loss = step(params, bs, opt, frames, key)
     _ = float(loss)
     print(f"  compile+1step {time.perf_counter() - t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    _ = float(jnp.sum(frames[:1, 0, 0, 0].astype(jnp.float32)))
-    rtt = time.perf_counter() - t0
+    # median-of-3 RTT: a single probe can catch a tunnel hiccup and
+    # over-correct (a 1572 ms probe once inflated a B=192 run by 79 ms/step)
+    rtts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(frames[:1, 0, 0, i].astype(jnp.float32)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[1]
     t0 = time.perf_counter()
     for i in range(n):
         params, bs, opt, loss = step(params, bs, opt, frames,
@@ -77,7 +83,8 @@ def bench(B, n=20, T=16, H0=171, W0=128, img=112, remat=False, net="r3d"):
     final = float(loss)
     dt = time.perf_counter() - t0
     per = (dt - rtt) / n
-    print(f"B={B} net={net} remat={remat}: {per * 1e3:.1f} ms/step "
+    print(f"B={B} net={net} remat={remat} out={out_dtype}: "
+          f"{per * 1e3:.1f} ms/step "
           f"(rtt {rtt * 1e3:.0f} ms), {B * 2 / per:.0f} clips/s, "
           f"final {final:.3f}", flush=True)
     return B * 2 / per
@@ -87,5 +94,7 @@ if __name__ == "__main__":
     for arg in sys.argv[1:] or ["16", "32", "64"]:
         if arg.startswith("remat"):
             bench(int(arg[5:]), remat=True)
+        elif arg.startswith("bf16out"):  # bf16 aug output (memory lever)
+            bench(int(arg[7:]), out_dtype="bfloat16")
         else:
             bench(int(arg))
