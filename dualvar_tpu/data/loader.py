@@ -379,6 +379,31 @@ class HostLoader:
             return src.native_batch
         return None
 
+    def _readahead(self, epoch: int, indices) -> None:
+        """Page-cache hint (posix_fadvise WILLNEED) for a batch that will be
+        decoded one prefetch-window from now: plans are recomputed (cheap,
+        deterministic index arithmetic per (epoch, index)) and the frame
+        file list handed to the kernel, which queues async disk reads and
+        returns immediately. Overlaps cold-cache IO of batch b+prefetch with
+        the decode of batch b; a no-op on cache-resident trees, synthetic
+        sources, or when the native library is unavailable."""
+        src = getattr(self.dataset, "source", None)
+        if src is None or not hasattr(self.dataset, "plan") \
+                or not hasattr(src, "paths"):
+            return
+        from .. import native
+
+        if not native.available():
+            return
+        paths = [
+            p
+            for i in indices
+            for vname, idx, _ in (self.dataset.plan(int(i),
+                                                    self._rng(epoch, int(i))),)
+            for p in src.paths(vname, idx)
+        ]
+        native.readahead_files(paths)
+
     def _assemble(self, epoch: int, indices) -> dict[str, np.ndarray]:
         """Batch-assembler fast path: sample every plan, then decode all
         B*F frames straight into the batch buffer with one native call
@@ -427,6 +452,9 @@ class HostLoader:
         use_native_batch = self._native_batch_ctx() is not None
 
         def submit(b):
+            if b + self.prefetch < nb:  # prime the page cache one window out
+                self.pool.submit(self._readahead, epoch,
+                                 batches[b + self.prefetch])
             if use_native_batch:
                 return self.pool.submit(self._assemble, epoch, batches[b])
             return [self.pool.submit(self._sample, epoch, i) for i in batches[b]]

@@ -63,6 +63,10 @@ def lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ]
+        L.dv_readahead_files.restype = ctypes.c_int
+        L.dv_readahead_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ]
         L.dv_resize_bicubic.restype = None
         L.dv_resize_bicubic.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -121,6 +125,19 @@ def decode_jpeg_files_into(
         n_threads, int(fast),
     )
     return True
+
+
+def readahead_files(paths: list[str]) -> int:
+    """Hint the kernel to pull these files into the page cache
+    (posix_fadvise WILLNEED; returns immediately). Used by HostLoader to
+    overlap cold-cache disk reads of upcoming batches with the current
+    batch's decode. Returns the number of files advised (0 when the native
+    library is unavailable — callers treat this as a no-op hint)."""
+    L = lib()
+    if L is None or not paths:
+        return 0
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    return L.dv_readahead_files(arr, len(paths))
 
 
 def resize_bicubic(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray | None:

@@ -27,6 +27,9 @@
 #include <jpeglib.h>
 #include <csetjmp>
 
+#include <fcntl.h>
+#include <unistd.h>
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -288,6 +291,28 @@ int dv_decode_buffers(const uint8_t** bufs, const size_t* sizes, int n,
     for (auto& t : ts) t.join();
   }
   return ok.load();
+}
+
+// Ask the kernel to pull `n` files into the page cache ahead of their
+// decode (posix_fadvise WILLNEED on the whole file — the kernel queues
+// async readahead and returns immediately). Cold-cache frame trees are
+// IO-latency-bound per frame; hinting one batch ahead overlaps the disk
+// reads of batch b+1 with the decode of batch b. Best-effort: returns the
+// number of files successfully advised (missing files are skipped — the
+// decode path reports those properly).
+int dv_readahead_files(const char** paths, int n) {
+  int ok = 0;
+  for (int i = 0; i < n; ++i) {
+    const int fd = open(paths[i], O_RDONLY);
+    if (fd < 0) continue;
+#if defined(POSIX_FADV_WILLNEED)
+    if (posix_fadvise(fd, 0, 0, POSIX_FADV_WILLNEED) == 0) ++ok;
+#else
+    ++ok;
+#endif
+    close(fd);
+  }
+  return ok;
 }
 
 // Standalone resize for testing: (in_h, in_w, 3) u8 -> (out_h, out_w, 3) u8.

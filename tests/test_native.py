@@ -112,3 +112,64 @@ def test_loader_uses_native_path(jpeg_dir, tmp_path):
     b = pil_src("v", np.array([0, 2]))
     assert a.shape == b.shape == (2, 64, 48, 3)
     assert np.abs(a.astype(int) - b.astype(int)).mean() < 0.6
+
+
+def test_readahead_counts_and_is_harmless(jpeg_dir):
+    """readahead_files advises exactly the files that exist (missing paths
+    skipped), returns immediately, and a subsequent decode is unaffected."""
+    n = native.readahead_files(list(jpeg_dir) + ["/nonexistent/nope.jpg"])
+    assert n == len(jpeg_dir)
+    assert native.readahead_files([]) == 0
+    out = native.decode_jpeg_files(jpeg_dir, (64, 48), n_threads=2)
+    assert out.shape == (len(jpeg_dir), 64, 48, 3) and out[0].sum() > 0
+
+
+def test_loader_issues_readahead(jpeg_dir, monkeypatch):
+    """HostLoader primes the page cache one prefetch window ahead: with
+    prefetch=1 over 3 batches, batches 1 and 2 get a readahead hint before
+    their decode, with exactly the frame paths their plans will read."""
+    from dualvar_tpu import native as native_mod
+    from dualvar_tpu.data.loader import HostLoader, JpegFrameSource
+
+    db = os.path.dirname(jpeg_dir[0])
+    os.makedirs(os.path.join(db, "ra"), exist_ok=True)
+    for i, p in enumerate(jpeg_dir[:6]):
+        dst = os.path.join(db, "ra", f"image_{i + 1:05d}.jpg")
+        if not os.path.exists(dst):
+            os.link(p, dst)
+
+    class TwoFrameDataset:
+        """6 single-video windows of 2 frames each, plan()-capable."""
+        source = JpegFrameSource(db, (32, 32), use_native=True)
+
+        def __len__(self):
+            return 6
+
+        def plan(self, index, rng):
+            start = index % 5
+            return "ra", np.array([start, start + 1]), {"label": np.int32(0)}
+
+        def __call__(self, index, rng):
+            vname, idx, aux = self.plan(index, rng)
+            return {"frames": self.source(vname, idx), **aux}
+
+    hinted = []
+    real = native_mod.readahead_files
+
+    def spy(paths):
+        hinted.append(list(paths))
+        return real(paths)
+
+    monkeypatch.setattr(native_mod, "readahead_files", spy)
+    loader = HostLoader(TwoFrameDataset(), batch_size=2, shuffle=False,
+                        num_workers=2, prefetch=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    loader.pool.shutdown(wait=True)  # readahead futures flushed
+    # 3 batches, prefetch=1 -> hints for batches 1 and 2 only
+    assert len(hinted) == 2
+    ds = TwoFrameDataset()
+    for hint, b in zip(hinted, (1, 2)):
+        want = [p for i in (2 * b, 2 * b + 1)
+                for p in ds.source.paths(*ds.plan(i, None)[:2])]
+        assert hint == want
