@@ -71,6 +71,13 @@ def select_backbone(network: str, dtype=jnp.float32, remat: bool = False):
         # snapped to 128-lane tiles; see r21d.intermed_channels
         return cls(R2Plus1DNet)(dtype=dtype, mid_mode="tile128"), {
             "feature_size": 512}
+    if network == "r21d_pad128":
+        # TPU-native variant WITH exact parity: formula mid widths padded
+        # to 128-lane tiles by structurally-zero channels that provably
+        # stay zero through training — same function and trajectory as
+        # 'r21d', tile-aligned layouts; see r21d.intermed_channels
+        return cls(R2Plus1DNet)(dtype=dtype, mid_mode="pad128"), {
+            "feature_size": 512}
     if network == "r2d3d18":
         return cls(ResNet2d3d)(**R2D3D18_SPEC, dtype=dtype), {
             "feature_size": 256}

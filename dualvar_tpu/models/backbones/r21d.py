@@ -16,7 +16,35 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import BatchNorm, Conv3d, _triple
+import jax
+from ..layers import BatchNorm, Conv3d, _triple, torch_conv_kernel_init
+
+
+def _bounded_uniform_init(fan_in: int):
+    """torch conv kaiming-uniform with an explicit fan-in (for pad128: the
+    temporal conv's bound must come from the LOGICAL mid width, not the
+    physically padded kernel shape)."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _zero_padded_init(base, n_logical: int, axis: int):
+    """Run ``base`` then zero every slice at index >= n_logical on ``axis``
+    — the structurally-zero pad block of mid_mode='pad128'."""
+
+    def init(key, shape, dtype=jnp.float32):
+        w = base(key, shape, dtype)
+        idx = jnp.arange(shape[axis])
+        mask = jnp.expand_dims(
+            idx < n_logical,
+            [a for a in range(len(shape)) if a != (axis % len(shape))])
+        return jnp.where(mask, w, 0)
+
+    return init
 
 
 def intermed_channels(in_ch: int, out_ch: int, ks,
@@ -34,6 +62,23 @@ def intermed_channels(in_ch: int, out_ch: int, ks,
         # multiple of 128 trades a ~±10% parameter change for tile-exact
         # matmuls and activations.
         return max(128, round(mid / 128) * 128)
+    if mid_mode == "pad128":
+        # TPU-native variant WITH exact reference parity: keep the formula
+        # width logically, pad the physical mid up to the next 128 multiple
+        # with structurally-zero weights (see SpatioTemporalConv). The
+        # padded channels are exactly zero forward AND stay zero through
+        # training (their pre-BN activations are 0, BN maps 0->beta=0,
+        # ReLU(0)=0, the downstream rows are 0 so every gradient into the
+        # pad block is exactly 0, and SGD/momentum/weight-decay of an exact
+        # 0 is 0) — so the computed function and its training trajectory
+        # are those of mid_mode='formula', at tile-aligned layouts. Exact
+        # in exact arithmetic, and the pad blocks stay bitwise zero through
+        # training; the one float-level caveat is that XLA tiles the wider
+        # reductions differently, regrouping the NONZERO partial sums —
+        # outputs agree with 'formula' to reduction-order rounding (~1e-6
+        # relative per layer in f32; tests/test_r21d_pad128.py), far below
+        # bf16 training noise, vs tile128's O(1) function change.
+        return -(-mid // 128) * 128
     assert mid_mode == "formula", mid_mode
     return mid
 
@@ -59,12 +104,27 @@ class SpatioTemporalConv(nn.Module):
         pt, ph, pw = _triple(self.padding)
         mid = intermed_channels(x.shape[-1], self.features, self.kernel_size,
                                 self.mid_mode)
+        sp_init = tmp_init = None
+        if self.mid_mode == "pad128":
+            logical = intermed_channels(x.shape[-1], self.features,
+                                        self.kernel_size, "formula")
+            # the logical block gets the torch init (the temporal conv's
+            # kaiming bound uses the LOGICAL fan-in, as the formula model
+            # would); the pad block is exactly zero — and stays zero, see
+            # intermed_channels
+            sp_init = _zero_padded_init(torch_conv_kernel_init,
+                                        n_logical=logical, axis=-1)
+            tmp_init = _zero_padded_init(
+                _bounded_uniform_init(kt * logical),
+                n_logical=logical, axis=-2)
         x = Conv3d(mid, (1, kh, kw), stride=(1, sh, sw), padding=(0, ph, pw),
-                   use_bias=self.use_bias, dtype=self.dtype, name="spatial_conv")(x)
+                   use_bias=self.use_bias, dtype=self.dtype,
+                   kernel_init=sp_init, name="spatial_conv")(x)
         x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
         x = nn.relu(x)
         x = Conv3d(self.features, (kt, 1, 1), stride=(st, 1, 1), padding=(pt, 0, 0),
-                   use_bias=self.use_bias, dtype=self.dtype, name="temporal_conv")(x)
+                   use_bias=self.use_bias, dtype=self.dtype,
+                   kernel_init=tmp_init, name="temporal_conv")(x)
         return x
 
 
@@ -133,3 +193,38 @@ class R2Plus1DNet(nn.Module):
         if multi_level:
             return x, feats
         return x
+
+
+def embed_formula_tree(src, dst_template):
+    """Embed a mid_mode='formula' r21d variable tree (params OR batch_stats)
+    into the matching mid_mode='pad128' structure: leaves whose shapes agree
+    pass through; mid-width-mismatched leaves are padded on the mismatched
+    axes — zeros for weights/bias/mean, ones for BN ``scale`` and ``var``
+    (the pad128 init values; any pad value is function-exact since the pad
+    activations are identically zero). Use for loading trained 'r21d'
+    checkpoints (ours or converted reference ones) into 'r21d_pad128'."""
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten, keystr
+
+    src_leaves, src_def = tree_flatten_with_path(src)
+    dst_leaves, dst_def = tree_flatten_with_path(dst_template)
+    dst_map = {keystr(p): v for p, v in dst_leaves}
+    out = {}
+    for path, leaf in src_leaves:
+        k = keystr(path)
+        if k not in dst_map:
+            raise KeyError(f"{k} not in pad128 template")
+        want = dst_map[k].shape
+        leaf = jnp.asarray(leaf)
+        if tuple(leaf.shape) == tuple(want):
+            out[k] = leaf.astype(dst_map[k].dtype)
+            continue
+        fill = 1.0 if k.rsplit("'", 2)[-2] in ("scale", "var") else 0.0
+        pad = [(0, w - s) for s, w in zip(leaf.shape, want)]
+        if any(p[1] < 0 for p in pad):
+            raise ValueError(f"{k}: src {leaf.shape} larger than dst {want}")
+        out[k] = jnp.pad(leaf, pad, constant_values=fill).astype(
+            dst_map[k].dtype)
+    missing = [k for k in dst_map if k not in out]
+    if missing:
+        raise KeyError(f"template leaves absent from src: {missing[:5]}")
+    return tree_unflatten(dst_def, [out[keystr(p)] for p, _ in dst_leaves])
