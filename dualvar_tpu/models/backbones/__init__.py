@@ -75,7 +75,11 @@ def select_backbone(network: str, dtype=jnp.float32, remat: bool = False):
         # TPU-native variant WITH exact parity: formula mid widths padded
         # to 128-lane tiles by structurally-zero channels that provably
         # stay zero through training — same function and trajectory as
-        # 'r21d', tile-aligned layouts; see r21d.intermed_channels
+        # 'r21d'; see r21d.intermed_channels. Measured SLOWER than 'r21d'
+        # on v5e (284.1 vs 267.4 ms/step, B=32 flagship): the pad FLOPs
+        # are real while XLA handles ragged widths cheaply — a recorded
+        # dead end as a perf lever (PARITY.md round-4 continuation), kept
+        # for parity-exact tile-alignment experiments
         return cls(R2Plus1DNet)(dtype=dtype, mid_mode="pad128"), {
             "feature_size": 512}
     if network == "r2d3d18":

@@ -176,7 +176,7 @@ def measure(B: int, remat: bool, net: str = "r21d"):
         dts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
     ms = min(dts) / n * 1e3
     step_flops = analytic(
-        B, "tile128" if net == "r21d_tiled" else "formula")
+        B, "tile128" if net == "r21d_tiled" else "formula")  # pad128: useful-FLOP MFU
     mfu = step_flops / (ms / 1e3) / 197e12 * 100
     print(f"B={B} net={net} remat={remat}: {ms:.1f} ms/step, "
           f"{B * 3 / (ms / 1e3):.1f} clips/s, MFU {mfu:.1f}%")
@@ -188,9 +188,9 @@ if __name__ == "__main__":
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("-B", type=int, default=32)
     ap.add_argument("--mid_mode", default="formula",
-                    choices=["formula", "tile128"])
+                    choices=["formula", "tile128", "pad128"])
     ap.add_argument("--net", default="r21d",
-                    choices=["r21d", "r21d_tiled"])
+                    choices=["r21d", "r21d_tiled", "r21d_pad128"])
     args = ap.parse_args()
     if args.measure:
         measure(args.B, args.remat, args.net)
