@@ -90,3 +90,51 @@ def test_linear_probe_freezes_backbone():
     bs_before = jax.tree.leaves(state.batch_stats)
     bs_after = jax.tree.leaves(new_state.batch_stats)
     assert all(np.array_equal(a, b) for a, b in zip(bs_before, bs_after))
+
+
+def test_sgd_momentum_through_lr_drop_matches_torch():
+    """Momentum buffers carry across MultiStepLR drops: co-train a raw
+    parameter for 3 'epochs' x 5 steps through drops at epochs {1, 2} using
+    the PRODUCTION schedule (pretrain.make_optimizer) vs torch SGD +
+    MultiStepLR — exact step-for-step agreement. This is the schedule x
+    momentum x weight-decay interaction the multi-epoch drift risk hinges
+    on (reference pretrain.py:272,328)."""
+    import dataclasses
+
+    from dualvar_tpu.core.config import PRETRAIN_PRESETS
+    from dualvar_tpu.train.pretrain import make_optimizer
+
+    spe = 5
+    cfg = PRETRAIN_PRESETS["smoke"]
+    cfg = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, lr=0.05, wd=1e-3,
+                                       momentum=0.9, schedule=(1, 2),
+                                       optim="sgd"))
+    tx, lr_fn = make_optimizer(cfg, steps_per_epoch=spe)
+
+    w0 = np.random.RandomState(0).randn(6, 4).astype(np.float32)
+    grads = [np.random.RandomState(i + 1).randn(6, 4).astype(np.float32)
+             for i in range(3 * spe)]
+
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt_t = torch.optim.SGD([wt], lr=0.05, momentum=0.9, weight_decay=1e-3)
+    sched = torch.optim.lr_scheduler.MultiStepLR(opt_t, milestones=[1, 2],
+                                                 gamma=0.1)
+    wj = jnp.asarray(w0)
+    state = tx.init(wj)
+    step = 0
+    for epoch in range(3):
+        for _ in range(spe):
+            opt_t.zero_grad()
+            wt.grad = torch.tensor(grads[step].copy())
+            opt_t.step()
+
+            assert float(lr_fn(step)) == pytest.approx(
+                opt_t.param_groups[0]["lr"], rel=1e-6)
+            updates, state = tx.update(jnp.asarray(grads[step]), state, wj)
+            wj = optax.apply_updates(wj, updates)
+            step += 1
+        sched.step()
+        np.testing.assert_allclose(
+            np.asarray(wj), wt.detach().numpy(), rtol=1e-5, atol=1e-7,
+            err_msg=f"after epoch {epoch}")
