@@ -50,7 +50,8 @@ def log(*a):
 #   2. _run_json_subprocess(): each auxiliary device-check runs in its own
 #      subprocess with its own deadline.
 #   3. _arm_watchdog(): if the whole bench overruns BENCH_DEADLINE_S
-#      (default 1500s) an error JSON line is still printed before exit.
+#      (default 1200s, inside the driver's ~25 min budget) an error JSON
+#      line is still printed before exit.
 # ---------------------------------------------------------------------------
 
 _STAGE = {"stage": "start"}  # mutated as the bench progresses (watchdog tail)
@@ -84,46 +85,78 @@ def _arm_watchdog(deadline_s: float):
     return t
 
 
+def _bounded_run(argv: list[str], deadline_s: float, tag: str):
+    """Run argv bounded by a hard deadline, immune to the relay wedge modes.
+
+    subprocess.run(capture_output=True, timeout=...) is NOT safe here: on
+    TimeoutExpired it kills only the direct child and then blocks in
+    communicate() until the pipes close — and the axon PJRT client forks
+    helpers that inherit those pipes, so a wedged relay left the round-4
+    preflight hanging PAST its own deadline (observed live: 200s, no
+    output). Two changes make the bound unconditional: stdout/stderr go to
+    temp FILES (wait() never touches pipes; orphaned grandchildren can't
+    block anything), and the child gets its own session so the deadline
+    kill takes down the whole process group.
+    """
+    import signal
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryFile() as out, tempfile.TemporaryFile() as err:
+        p = subprocess.Popen(argv, stdout=out, stderr=err,
+                             start_new_session=True)
+        try:
+            rc = p.wait(timeout=deadline_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except OSError:
+                p.kill()
+            p.wait()
+            return None, "", f"{tag} timed out after {deadline_s:.0f}s"
+        out.seek(0)
+        err.seek(0)
+        stdout = out.read().decode("utf-8", "replace")
+        stderr = err.read().decode("utf-8", "replace")
+    return rc, stdout, stderr
+
+
 def _preflight(deadline_s: float = 75.0) -> dict:
     """Probe backend init in a subprocess. Returns {'backend':..., 'n':...}
     on success, {'error':...} on failure/timeout — the parent has NOT touched
     the backend yet either way, so it can exit cleanly."""
-    import subprocess
     code = ("import jax, json; d = jax.devices(); "
+            "import jax.numpy as jnp; jnp.ones((8, 8)).sum().item(); "
             "print(json.dumps({'backend': jax.default_backend(),"
             " 'n': len(d)}))")
-    try:
-        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=deadline_s)
-    except subprocess.TimeoutExpired:
-        return {"error": f"backend init timed out after {deadline_s:.0f}s"}
-    if p.returncode == 0:
-        for line in reversed((p.stdout or "").strip().splitlines()):
+    rc, stdout, stderr = _bounded_run([sys.executable, "-c", code],
+                                      deadline_s, "backend init")
+    if rc is None:
+        return {"error": stderr}
+    if rc == 0:
+        for line in reversed(stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
-    tail = ((p.stderr or "").strip().splitlines() or ["<no stderr>"])[-1]
-    return {"error": f"backend init failed rc={p.returncode}: {tail[:300]}"}
+    tail = (stderr.strip().splitlines() or ["<no stderr>"])[-1]
+    return {"error": f"backend init failed rc={rc}: {tail[:300]}"}
 
 
 def _run_json_subprocess(argv: list[str], deadline_s: float, tag: str) -> dict:
     """Run a script that prints one JSON line; bound it with a deadline so a
     mid-run relay death cannot wedge the bench."""
-    import subprocess
-    try:
-        p = subprocess.run([sys.executable] + argv, capture_output=True,
-                           text=True, timeout=deadline_s)
-    except subprocess.TimeoutExpired:
-        return {"error": f"{tag} timed out after {deadline_s:.0f}s"}
-    for line in reversed((p.stdout or "").strip().splitlines()):
+    rc, stdout, stderr = _bounded_run([sys.executable] + argv, deadline_s, tag)
+    if rc is None:
+        return {"error": stderr}
+    for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
                 return json.loads(line)
             except json.JSONDecodeError:
                 break
-    tail = ((p.stderr or "").strip().splitlines() or ["<no output>"])[-1]
-    return {"error": f"{tag} rc={p.returncode}: {tail[:300]}"}
+    tail = (stderr.strip().splitlines() or ["<no output>"])[-1]
+    return {"error": f"{tag} rc={rc}: {tail[:300]}"}
 
 
 def _write_synthetic_jpegs(root: str, n_videos: int, vlen: int,
@@ -261,9 +294,14 @@ def aug_fused_device_check(deadline_s: float = 600.0) -> dict:
 
 
 def main():
-    _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_S", "1500")))
+    # must fire BEFORE the driver's own ~25 min timeout (BENCH_r03 rc 124)
+    # so a mid-run relay wedge still yields a parseable error record
+    _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_S", "1200")))
     _STAGE["stage"] = "preflight"
-    pf = _preflight(float(os.environ.get("BENCH_PREFLIGHT_S", "75")))
+    # 120s: the probe now includes a real compute (devices() alone returned
+    # while compute hung in one observed wedge mode), and a contended relay
+    # was measured at ~40s even healthy
+    pf = _preflight(float(os.environ.get("BENCH_PREFLIGHT_S", "120")))
     if "error" in pf:
         log("backend preflight failed:", pf["error"])
         print(json.dumps(_error_record(pf["error"])), flush=True)

@@ -1,0 +1,73 @@
+"""Regression tests for bench.py's fail-fast subprocess plumbing.
+
+BENCH_r03 (rc 124, no JSON) established that a wedged TPU relay must never
+be able to hang the bench past its deadlines. The round-4 session then
+observed a second wedge mode live: ``subprocess.run(capture_output=True,
+timeout=...)`` kills the direct child on timeout but blocks in
+``communicate()`` because axon PJRT helper processes inherit the stdout/
+stderr pipes and keep them open. ``_bounded_run`` fixes that by writing to
+temp files and SIGKILLing the child's whole session; these tests pin the
+property with a simulated wedge (a grandchild holding stdio open).
+"""
+
+import os
+import signal
+import sys
+import time
+
+from bench import _bounded_run
+
+PY = sys.executable
+
+
+def test_normal_completion_returns_rc_and_streams():
+    rc, out, err = _bounded_run(
+        [PY, "-c", "import sys; print('ok'); print('warn', file=sys.stderr)"],
+        deadline_s=30.0, tag="smoke")
+    assert rc == 0
+    assert out.strip() == "ok"
+    assert err.strip() == "warn"
+
+
+def test_nonzero_exit_is_reported_not_raised():
+    rc, out, err = _bounded_run(
+        [PY, "-c", "import sys; print('partial'); sys.exit(3)"],
+        deadline_s=30.0, tag="smoke")
+    assert rc == 3
+    assert out.strip() == "partial"
+
+
+def test_deadline_holds_against_stdio_holding_grandchild():
+    # The simulated wedge: the child spawns a grandchild that inherits its
+    # stdio and sleeps, then sleeps itself. With pipes this blocks the
+    # parent's read long after the child is killed; with temp files +
+    # killpg the call must return at the deadline.
+    code = (
+        "import subprocess, sys, time\n"
+        "subprocess.Popen([sys.executable, '-c', 'import time; time.sleep(120)'])\n"
+        "time.sleep(120)\n"
+    )
+    t0 = time.monotonic()
+    rc, out, err = _bounded_run([PY, "-c", code], deadline_s=2.0, tag="wedge")
+    elapsed = time.monotonic() - t0
+    assert rc is None
+    assert "timed out" in err
+    # generous bound: the deadline plus process-kill overhead, nowhere near
+    # the 120s the wedged processes would hold pipes open for
+    assert elapsed < 15.0
+
+
+def test_deadline_kill_takes_down_the_whole_process_group(tmp_path):
+    # If only the direct child died, the orphaned grandchild would outlive
+    # the call and write its marker file; killpg must reach it first.
+    marker = tmp_path / "grandchild_survived"
+    inner = f'import time, pathlib; time.sleep(4); pathlib.Path("{marker}").touch()'
+    code = (
+        "import subprocess, sys, time\n"
+        f"subprocess.Popen([sys.executable, '-c', {inner!r}])\n"
+        "time.sleep(120)\n"
+    )
+    rc, _, err = _bounded_run([PY, "-c", code], deadline_s=1.0, tag="wedge")
+    assert rc is None
+    time.sleep(5.0)
+    assert not marker.exists(), "grandchild escaped the process-group kill"
