@@ -155,22 +155,40 @@ def bench_net(net: str, n_steps: int = 20, chains: int = 3):
     return rec
 
 
+def _merge_result(path: str, rec: dict):
+    """Merge one net's record into the JSON, keyed by net name — each net
+    costs a full TPU compile through a flaky relay, so results land as they
+    are measured instead of only at end-of-sweep."""
+    doc = {"shape": f"16x{IMG}^2, 2 views, fused aug, bf16",
+           "device": jax.devices()[0].device_kind, "results": []}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            pass
+    doc["results"] = ([r for r in doc.get("results", [])
+                       if r.get("net") != rec["net"]] + [rec])
+    doc["results"].sort(key=lambda r: list(CANDIDATES).index(r["net"])
+                        if r.get("net") in CANDIDATES else 99)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
 def main():
     nets = sys.argv[1:] or list(CANDIDATES)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_BACKBONES.json")
     out = []
     for net in nets:
         try:
-            out.append(bench_net(net))
+            rec = bench_net(net)
         except Exception as e:
-            out.append({"net": net,
-                        "error": f"{type(e).__name__}: {str(e)[:300]}"})
+            rec = {"net": net,
+                   "error": f"{type(e).__name__}: {str(e)[:300]}"}
             print(f"{net}: FAILED {e}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_BACKBONES.json")
-    with open(path, "w") as f:
-        json.dump({"shape": f"16x{IMG}^2, 2 views, fused aug, bf16",
-                   "device": jax.devices()[0].device_kind,
-                   "results": out}, f, indent=1)
+        out.append(rec)
+        _merge_result(path, rec)
     print(json.dumps(out))
 
 
