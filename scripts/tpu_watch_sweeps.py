@@ -89,11 +89,14 @@ def main():
                  ("scripts/eval_bench.py", "BENCH_EVAL.json",
                   "/tmp/eval_bench.log"))
              for net in NETS]
+    attempts = {}  # (script, net) -> tries; a unit that fails 3 times with
+    MAX_ATTEMPTS = 3  # a live relay is pathological — skip, don't starve
     while time.time() < t_end:
-        pending = [u for u in units if not _done(u[2], u[1])]
+        pending = [u for u in units
+                   if not _done(u[2], u[1])
+                   and attempts.get(u[:2], 0) < MAX_ATTEMPTS]
         if not pending:
-            log("all sweeps done")
-            return 0
+            break
         if not probe():
             log(f"relay dead; retry in {PROBE_INTERVAL_S:.0f}s "
                 f"({len(pending)} units pending)")
@@ -102,17 +105,19 @@ def main():
         log(f"relay ALIVE; {len(pending)} units pending")
         for script, net, artifact, logfile in pending:
             log(f"{script} {net} -> {logfile}")
+            attempts[(script, net)] = attempts.get((script, net), 0) + 1
             rc = bounded([sys.executable, script, net],
                          SWEEP_DEADLINE_S, logfile)
             ok = _done(artifact, net)
-            log(f"{script} {net}: rc={rc} recorded={'yes' if ok else 'NO'}")
+            log(f"{script} {net}: rc={rc} recorded={'yes' if ok else 'NO'} "
+                f"(attempt {attempts[(script, net)]})")
             if not ok:
                 break  # relay likely re-wedged; go back to probing
     pending = [f"{u[0]}:{u[1]}" for u in units if not _done(u[2], u[1])]
     if not pending:
         log("all sweeps done")
         return 0
-    log("budget expired with units pending:", pending)
+    log("exiting with units unrecorded (budget or attempt cap):", pending)
     return 1
 
 
