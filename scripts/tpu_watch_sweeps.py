@@ -9,6 +9,8 @@ hardware sweeps:
 
   1. scripts/backbone_bench.py  -> BENCH_BACKBONES.json (all 7 families)
   2. scripts/eval_bench.py      -> BENCH_EVAL.json
+  3. scripts/objective_bench.py -> BENCH_OBJECTIVES.json (per-SSL-family
+     production train step, incl. both MoCo configs)
 
 Each sweep is itself deadline-bounded so a mid-run wedge cannot hold the
 watcher forever. Logs to /tmp/tpu_watch.log; exits 0 when both sweeps have
@@ -89,6 +91,10 @@ def main():
                  ("scripts/eval_bench.py", "BENCH_EVAL.json",
                   "/tmp/eval_bench.log"))
              for net in NETS]
+    units += [("scripts/objective_bench.py", unit, "BENCH_OBJECTIVES.json",
+               "/tmp/objective_bench.log")
+              for unit in ("simclr_tsv4_r21d", "moco_tsv4_r21d",
+                           "simclr_tsv4_r3d", "moco_naked_r3d")]
     attempts = {}  # (script, net) -> tries; a unit that fails 3 times with
     MAX_ATTEMPTS = 3  # a live relay is pathological — skip, don't starve
     while time.time() < t_end:
