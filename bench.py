@@ -56,9 +56,35 @@ def log(*a):
 
 _STAGE = {"stage": "start"}  # mutated as the bench progresses (watchdog tail)
 
+# Every successful headline run persists its record here; error records
+# attach it as `last_known_good` so a relay wedge at driver-bench time
+# (BENCH_r03's failure mode) still yields the most recent on-hardware
+# measurement with provenance instead of an empty record.
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST_GOOD.json")
+
+
+def _save_last_good(record: dict):
+    import datetime
+    try:
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump({**record, "measured_at": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds")}, f,
+                indent=1)
+    except OSError as e:  # read-only checkout etc. — never fail the bench
+        log("could not persist last-good record:", e)
+
+
+def _load_last_good():
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
 
 def _error_record(msg: str) -> dict:
-    return {
+    rec = {
         "metric": "clips/sec/chip pretrain (R3D-18 SimCLR, 16x112^2, bf16, "
                   "full train step incl. on-device aug)",
         "value": None,
@@ -68,6 +94,10 @@ def _error_record(msg: str) -> dict:
         "backend": os.environ.get("JAX_PLATFORMS", "<default>"),
         "stage": _STAGE["stage"],
     }
+    last = _load_last_good()
+    if last is not None:
+        rec["last_known_good"] = last
+    return rec
 
 
 def _arm_watchdog(deadline_s: float):
@@ -484,7 +514,7 @@ def main():
         print(json.dumps(record))
         return
 
-    print(json.dumps({
+    record = {
         "metric": "clips/sec/chip pretrain (R3D-18 SimCLR, 16x112^2, bf16, "
                   "full train step incl. on-device aug)",
         "value": round(clips_per_sec, 2),
@@ -496,7 +526,10 @@ def main():
         "backend": jax.default_backend(),
         **softdtw_info,
         **aug_info,
-    }))
+    }
+    if jax.default_backend() != "cpu":  # only real-hardware runs are citable
+        _save_last_good(record)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
