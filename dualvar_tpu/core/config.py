@@ -140,6 +140,9 @@ class ClassifierConfig:
     dropout: float = 0.5
     use_l2_norm: bool = False
     use_final_bn: bool = False
+    # retrieval feature-dump directory under the experiment path
+    # (reference --dirname, classifier.py:77,861-864; default 'feature')
+    dirname: str = "feature"
 
 
 def _smoke_data(**kw) -> DataConfig:

@@ -575,6 +575,9 @@ def test_temporal_tenclip(cfg: ClassifierConfig) -> dict[str, float]:
 
 
 def extract_tenclip_features(cfg, model, params, batch_stats, mode, aug_cfg):
+    """Per-video 10-clip features: returns (mean_feature (N,D), per-clip
+    feature (N,10,D), label (N,), vname list) — the artifact set the
+    reference persists per split (classifier.py:878-915)."""
     dataset = tenclip_dataset(cfg, mode)
     loader = _test_loader(cfg, dataset)
 
@@ -584,17 +587,23 @@ def extract_tenclip_features(cfg, model, params, batch_stats, mode, aug_cfg):
         B = clips.shape[0]
         flat = clips.reshape(B * 10, *clips.shape[2:])
         _, feat = model.apply(variables, flat, train=False)
-        return feat.reshape(B, 10, -1).mean(axis=1)  # classifier.py:888-890
+        per = feat.reshape(B, 10, -1)
+        return per.mean(axis=1), per  # classifier.py:888-890
 
     variables = {"params": params, "batch_stats": batch_stats}
-    feats, labels, vids = [], [], []
+    feats, pers, labels, vids = [], [], [], []
     for batch in loader.epoch(0):
-        feats.append(np.asarray(step(variables, jnp.asarray(batch["frames"]))))
+        f, p = step(variables, jnp.asarray(batch["frames"]))
+        feats.append(np.asarray(f))
+        pers.append(np.asarray(p))
         labels.append(np.asarray(batch["label"]))
         vids.append(np.asarray(batch["vid"]))
-    _, feats, labels = _dedupe_by_vid(*_gather_concat(
-        np.concatenate(vids), np.concatenate(feats), np.concatenate(labels)))
-    return feats, labels
+    vids, feats, pers, labels = _dedupe_by_vid(*_gather_concat(
+        np.concatenate(vids), np.concatenate(feats), np.concatenate(pers),
+        np.concatenate(labels)))
+    # TenClipDataset vid == entry index, so names resolve locally
+    vnames = [dataset.entries[int(v)].vname for v in vids]
+    return feats, pers, labels, vnames
 
 
 def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
@@ -607,19 +616,28 @@ def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
     params, batch_stats = _load_test_state(cfg, model, logger)
     aug_cfg = AugConfig(img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len)
 
-    test_f, test_l = extract_tenclip_features(
+    test_f, test_p, test_l, test_v = extract_tenclip_features(
         cfg, model, params, batch_stats, "test", aug_cfg)
-    train_f, train_l = extract_tenclip_features(
+    train_f, train_p, train_l, train_v = extract_tenclip_features(
         cfg, model, params, batch_stats, "train", aug_cfg)
     logger.info(f"test {test_f.shape}, train {train_f.shape}")
 
-    feat_dir = os.path.join(exp_path, "feature")
+    # persist the reference's full artifact set (classifier.py:861-915,977):
+    # per-split mean + per-clip features, labels, video names, and the
+    # similarity matrix, dataset-prefixed in --dirname (npy/json instead of
+    # pth.tar/pkl — same contents, framework-neutral formats)
+    ds_name = cfg.data.dataset.split("-")[0]
+    feat_dir = os.path.join(exp_path, cfg.dirname)
     if jax.process_index() == 0:
         os.makedirs(feat_dir, exist_ok=True)
-        np.save(os.path.join(feat_dir, "test_feature.npy"), test_f)
-        np.save(os.path.join(feat_dir, "train_feature.npy"), train_f)
-        np.save(os.path.join(feat_dir, "test_label.npy"), test_l)
-        np.save(os.path.join(feat_dir, "train_label.npy"), train_l)
+        for split, f, p, l, v in (("test", test_f, test_p, test_l, test_v),
+                                  ("train", train_f, train_p, train_l, train_v)):
+            np.save(os.path.join(feat_dir, f"{ds_name}_{split}_feature.npy"), f)
+            np.save(os.path.join(feat_dir, f"{ds_name}_{split}_per_feature.npy"), p)
+            np.save(os.path.join(feat_dir, f"{ds_name}_{split}_label.npy"), l)
+            with open(os.path.join(feat_dir, f"{ds_name}_{split}_vname.json"),
+                      "w") as fp:
+                json.dump(list(v), fp)
 
     # centering + L2 norm + cosine similarity (classifier.py:966-975)
     test_f = test_f - test_f.mean(0, keepdims=True)
@@ -628,6 +646,8 @@ def test_retrieval(cfg: ClassifierConfig) -> dict[str, float]:
     train_f /= np.maximum(np.linalg.norm(train_f, axis=1, keepdims=True), 1e-12)
     sim = jnp.asarray(test_f) @ jnp.asarray(train_f).T
     sim = np.asarray(sim)
+    if jax.process_index() == 0:
+        np.save(os.path.join(feat_dir, f"{ds_name}_sim.npy"), sim)
 
     out = {}
     for k in (1, 5, 10, 20, 50):
@@ -676,6 +696,12 @@ def main():
     p.add_argument("--with_color_jitter", type=int, default=None,
                    choices=[None, 0, 1],
                    help="finetune-time color jitter (classifier.py:50)")
+    p.add_argument("--aug_crop", type=int, default=None,
+                   choices=[None, 0, 1],
+                   help="1 (default): fixed 128x171 portrait resize before "
+                        "the test crop (reference --aug_crop + img_dim 112, "
+                        "classifier.py:688-693); 0: short-side resize to "
+                        "img_resize_dim (landscape for the 4:3 frame trees)")
     p.add_argument("--rand_flip", type=int, default=None,
                    choices=[None, 0, 1],
                    help="random horizontal flip in finetune aug "
@@ -710,6 +736,9 @@ def main():
     p.add_argument("--save_freq", type=int, default=None)
     p.add_argument("--pretrain", default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--dirname", default=None,
+                   help="retrieval feature-dump dir under the experiment "
+                        "path (reference classifier.py:77; default 'feature')")
     p.add_argument("--max_steps", type=int, default=None)
     args = p.parse_args()
 
@@ -730,10 +759,17 @@ def main():
         r = args.img_resize_dim
         data = dataclasses.replace(data, img_resize_dim=r,
                                    scale_hw=(round(r * 171 / 128), r))
+    if args.aug_crop == 0:
+        # reference non-aug_crop test path: Scale(img_resize_dim) short-side
+        # resize (classifier.py:684-687) — landscape (H=r, W=4r/3) for the
+        # 4:3 frame trees extract_frames produces, vs the aug_crop fixed
+        # 128x171 portrait the presets default to
+        r = data.img_resize_dim
+        data = dataclasses.replace(data, scale_hw=(r, round(r * 171 / 128)))
     if args.data_root or args.db_path:
         data = dataclasses.replace(data, synthetic=False)
     aug = _override(cfg.aug, args, ("jitter_order", "fused_aug"))
-    for k in ("with_color_jitter", "rand_flip"):
+    for k in ("with_color_jitter", "rand_flip", "aug_crop"):
         v = getattr(args, k)
         if v is not None:
             aug = dataclasses.replace(aug, **{k: bool(v)})
@@ -752,7 +788,7 @@ def main():
                        "save_freq", "pretrain", "resume")),
     )
     for name in ("train_what", "use_dropout", "use_l2_norm", "use_final_bn",
-                 "dropout"):
+                 "dropout", "dirname"):
         if getattr(args, name) is not None:
             cfg = dataclasses.replace(cfg, **{name: getattr(args, name)})
 

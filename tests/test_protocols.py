@@ -42,6 +42,29 @@ def test_retrieval_protocol(clf_cfg):
     # synthetic train/test share videos and features are deterministic:
     # nearest neighbor of each video is itself
     assert out["R@1"] == 1.0
+    # persisted artifact set mirrors the reference (classifier.py:861-915,
+    # 977): per-split mean/per-clip features, labels, vnames + sim matrix,
+    # dataset-prefixed in --dirname
+    import glob
+    import json as _json
+    import os
+
+    feat_dirs = glob.glob(os.path.join(
+        clf_cfg.run.log_root, "**", clf_cfg.dirname), recursive=True)
+    assert len(feat_dirs) == 1
+    d, ds = feat_dirs[0], clf_cfg.data.dataset.split("-")[0]
+    for split in ("test", "train"):
+        f = np.load(os.path.join(d, f"{ds}_{split}_feature.npy"))
+        p = np.load(os.path.join(d, f"{ds}_{split}_per_feature.npy"))
+        l = np.load(os.path.join(d, f"{ds}_{split}_label.npy"))
+        v = _json.load(open(os.path.join(d, f"{ds}_{split}_vname.json")))
+        n = clf_cfg.data.synthetic_videos
+        assert f.shape[0] == p.shape[0] == l.shape[0] == len(v) == n
+        assert p.shape[1] == 10 and p.shape[2] == f.shape[1]
+        np.testing.assert_allclose(p.mean(1), f, rtol=1e-5, atol=1e-5)
+        assert all(isinstance(x, str) and "/" in x for x in v)
+    sim = np.load(os.path.join(d, f"{ds}_sim.npy"))
+    assert sim.shape == (n, n)
 
 
 def test_temporal_tenclip_protocol(clf_cfg):
