@@ -104,8 +104,17 @@ def _arm_watchdog(deadline_s: float):
     import threading
 
     def fire():
-        print(json.dumps(_error_record(
-            f"bench watchdog fired after {deadline_s:.0f}s")), flush=True)
+        # if the headline was already measured (a post-timing stage wedged,
+        # e.g. an in-parent kernel check), print the REAL record with the
+        # wedge noted — the metric must survive anything after "timing"
+        rec = _STAGE.get("record")
+        if rec is not None:
+            rec = {**rec, "note": f"watchdog fired after {deadline_s:.0f}s "
+                                  f"in stage {_STAGE['stage']}"}
+        else:
+            rec = _error_record(
+                f"bench watchdog fired after {deadline_s:.0f}s")
+        print(json.dumps(rec), flush=True)
         sys.stdout.flush()
         os._exit(0)
 
@@ -329,30 +338,66 @@ def input_pipeline_bench(train_step, params, batch_stats, opt_state, B, T):
     return achieved, decode_clips, ncores, h2d_mbps, fast_clips
 
 
+def _run_check_in_thread(fn, deadline_s: float, tag: str) -> dict:
+    """Run a device self-check IN-PARENT (child processes open a second
+    relay session that starves on single-session days — Aug 20: both checks
+    timed out as children right after the parent measured 832 clips/s) in a
+    daemon thread joined with a deadline. A wedged check is abandoned, not
+    the bench: by the time checks run the headline record is stashed in
+    _STAGE['record'], main() exits via os._exit so an abandoned thread
+    cannot block interpreter teardown, and the watchdog prints the real
+    record if even this thread bookkeeping wedges."""
+    import threading
+
+    box: dict = {}
+
+    def _go():
+        try:
+            box["result"] = fn()
+        except Exception as e:
+            box["result"] = {"error": f"{tag} failed: {str(e)[:300]}"}
+
+    t = threading.Thread(target=_go, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if "result" not in box:
+        _STAGE["abandoned_check"] = True
+        box["result"] = {"error": f"{tag} wedged past {deadline_s:.0f}s "
+                                  "(abandoned in-parent)"}
+    log(f"{tag}:", box["result"])
+    return box["result"]
+
+
 def softdtw_device_check(deadline_s: float = 600.0) -> dict:
     """Continuous re-verification of the Pallas soft-DTW kernels vs the XLA
     oracle on whatever backend the bench runs on (the PARITY bit-exactness
-    claim; reference self-check pattern utils/soft_dtw_cuda.py:373-409).
-    Subprocess-bounded so a mid-run relay death cannot wedge the bench."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    r = _run_json_subprocess(
-        [os.path.join(here, "scripts", "softdtw_device_check.py"), "--json"],
-        deadline_s, "softdtw check")
-    log("softdtw check:", r)
-    return {"softdtw_check": r}
+    claim; reference self-check pattern utils/soft_dtw_cuda.py:373-409)."""
+    def _check():
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        import softdtw_device_check as sc
+        fwd, bwd, impl = sc.run_check(verbose=False)
+        return {"impl": impl, "fwd_err": fwd, "bwd_err": bwd,
+                "exact": fwd == 0.0 and bwd == 0.0}
+
+    return {"softdtw_check": _run_check_in_thread(
+        _check, deadline_s, "softdtw check")}
 
 
 def aug_fused_device_check(deadline_s: float = 600.0) -> dict:
     """Re-verify the fused aug kernel against the unfused pipeline on the
     actual device (same pattern as the soft-DTW check): same key => same
-    random decisions, so outputs must agree to f32 chain tolerance.
-    Subprocess-bounded like the soft-DTW check."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    r = _run_json_subprocess(
-        [os.path.join(here, "scripts", "aug_fused_device_check.py"),
-         "--json"], deadline_s, "fused aug check")
-    log("fused aug check:", r)
-    return {"aug_fused_check": r}
+    random decisions, so outputs must agree to f32 chain tolerance."""
+    def _check():
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        import aug_fused_device_check as ac
+        err = ac.run_check()
+        return {"max_err": err, "ok": err < 0.2,
+                "backend": jax.default_backend()}
+
+    return {"aug_fused_check": _run_check_in_thread(
+        _check, deadline_s, "fused aug check")}
 
 
 def main():
@@ -548,22 +593,6 @@ def main():
         print(json.dumps(record))
         return
 
-    # kernel self-checks AFTER the headline measurement: they are child
-    # processes that dial the relay, and on a single-session relay a child
-    # can starve behind this parent (Aug 20) — a starving check must cost
-    # its own bounded deadline, never the metric
-    _STAGE["stage"] = "softdtw_check"
-    check_s = float(os.environ.get("BENCH_CHECK_S", "240"))
-    softdtw_info = softdtw_device_check(check_s)
-    _STAGE["stage"] = "aug_fused_check"
-    if "timed out" in str(softdtw_info.get("softdtw_check", {}).get("error", "")):
-        # child sessions are starving behind this one — don't burn a second
-        # deadline on the same condition
-        aug_info = {"aug_fused_check": {
-            "error": "skipped: softdtw check child session starved"}}
-    else:
-        aug_info = aug_fused_device_check(check_s)
-
     record = {
         "metric": "clips/sec/chip pretrain (R3D-18 SimCLR, 16x112^2, bf16, "
                   "full train step incl. on-device aug)",
@@ -574,12 +603,32 @@ def main():
         **a100_band,
         "batch_size": B,
         "backend": jax.default_backend(),
-        **softdtw_info,
-        **aug_info,
     }
+    # the headline is measured: from here on the watchdog prints THIS record
+    # (annotated) rather than an error record, whatever wedges below
+    _STAGE["record"] = record
+
+    # kernel self-checks AFTER the headline measurement, in-parent (see
+    # _run_check_in_thread) so they share this process' relay session; each
+    # is deadline-bounded and abandoned on wedge — never the metric
+    _STAGE["stage"] = "softdtw_check"
+    check_s = float(os.environ.get("BENCH_CHECK_S", "240"))
+    softdtw_info = softdtw_device_check(check_s)
+    _STAGE["stage"] = "aug_fused_check"
+    if _STAGE.get("abandoned_check"):
+        # the backend is wedged in an abandoned thread — a second in-parent
+        # check would block on the same device lock
+        aug_info = {"aug_fused_check": {
+            "error": "skipped: softdtw check wedged the backend"}}
+    else:
+        aug_info = aug_fused_device_check(check_s)
+
+    record = {**record, **softdtw_info, **aug_info}
     if jax.default_backend() != "cpu":  # only real-hardware runs are citable
         _save_last_good(record)
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
+    if _STAGE.get("abandoned_check"):
+        os._exit(0)  # don't let an abandoned check thread block teardown
 
 
 if __name__ == "__main__":

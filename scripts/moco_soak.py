@@ -180,7 +180,7 @@ def main():
         "backend": jax.default_backend(),
     }
     print(json.dumps(record), flush=True)
-    if os.path.isdir("scripts"):
+    if os.path.isdir("scripts") and not args.smoke:
         with open("SOAK_MOCO_r04.json", "w") as f:
             json.dump(record, f, indent=1)
     ok = record["ptr_ok"] and ema_finite and (resume_ok in (None, True))

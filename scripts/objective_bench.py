@@ -189,8 +189,11 @@ def _merge_result(path: str, rec: dict):
 
 def main():
     units = sys.argv[1:] or list(UNITS)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_OBJECTIVES.json")
+    # --smoke rehearsals write to the cwd so they can never clobber the
+    # repo-root hardware record
+    path = (os.path.abspath("BENCH_OBJECTIVES.json") if SMOKE
+            else os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BENCH_OBJECTIVES.json"))
     out = []
     for name in units:
         try:
