@@ -41,20 +41,25 @@ from dualvar_tpu.train.tasks import total_loss
 V5E_BF16_PEAK = 197e12
 T, H0, W0, IMG = 16, 171, 128, 112
 
-# batch candidates per family, largest first (OOM falls back); sized from
-# the known R3D/r21d residency plus each family's activation footprint
+# batch candidates per family, largest first (OOM falls back). Round-4
+# sweep 1 sized these from the R3D/r21d residency ANALYTICALLY and capped
+# the FLOP-light families at 64 untested; the bandwidth-bound nets
+# (s3d/s3dg at 17% MFU) plausibly gain from larger GEMMs, so the caps are
+# raised to let the OOM fallback find the real wall. r3d stays at 128:
+# B=192 was measured sublinear per clip (PARITY.md round-4).
 CANDIDATES = {
     "r3d": (128, 64, 32),
-    "r21d": (64, 32, 16),
-    "c3d": (128, 64, 32),
-    "s3d": (64, 32, 16),
-    "s3dg": (64, 32, 16),
-    "r2d3d18": (128, 64, 32),
-    "r50": (64, 32, 16),
+    "r21d": (128, 64, 32, 16),
+    "c3d": (256, 128, 64, 32),
+    "s3d": (256, 128, 64, 32, 16),
+    "s3dg": (256, 128, 64, 32, 16),
+    "r2d3d18": (256, 128, 64, 32),
+    "r50": (128, 64, 32, 16),
 }
 
 
-def bench_net(net: str, n_steps: int = 20, chains: int = 3):
+def bench_net(net: str, n_steps: int = 20, chains: int = 3,
+              batches=None):
     aug_cfg = AugConfig(img_dim=IMG, seq_len=T, fused="auto",
                         jitter_order="sample")
     model = SimCLRNaked(network=net, dim=128, temperature=0.07,
@@ -86,7 +91,7 @@ def bench_net(net: str, n_steps: int = 20, chains: int = 3):
 
     params = bs = opt = None
     B = None
-    for cand in CANDIDATES[net]:
+    for cand in (batches or CANDIDATES[net]):
         params, bs, opt = fresh_state()
         frames = jax.device_put(np.random.default_rng(0).integers(
             0, 255, (cand, 2 * T, H0, W0, 3), dtype=np.uint8))
@@ -156,33 +161,29 @@ def bench_net(net: str, n_steps: int = 20, chains: int = 3):
 
 
 def _merge_result(path: str, rec: dict):
-    """Merge one net's record into the JSON, keyed by net name — each net
-    costs a full TPU compile through a flaky relay, so results land as they
-    are measured instead of only at end-of-sweep."""
-    doc = {"shape": f"16x{IMG}^2, 2 views, fused aug, bf16",
-           "device": jax.devices()[0].device_kind, "results": []}
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                doc = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            pass
-    doc["results"] = ([r for r in doc.get("results", [])
-                       if r.get("net") != rec["net"]] + [rec])
-    doc["results"].sort(key=lambda r: list(CANDIDATES).index(r["net"])
-                        if r.get("net") in CANDIDATES else 99)
-    with open(path, "w") as f:
-        json.dump(doc, f, indent=1)
+    """Land-as-measured, best-row merge (scripts/_sweep_merge.py)."""
+    from _sweep_merge import merge_result
+    merge_result(path, rec,
+                 {"shape": f"16x{IMG}^2, 2 views, fused aug, bf16",
+                  "device": jax.devices()[0].device_kind, "results": []},
+                 list(CANDIDATES))
 
 
 def main():
+    # args: net names, or net:batch for a targeted single-batch probe
+    # (the candidate loop stops at the LARGEST fitting batch, so
+    # intermediate batches need an explicit ask)
     nets = sys.argv[1:] or list(CANDIDATES)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_BACKBONES.json")
     out = []
     for net in nets:
         try:
-            rec = bench_net(net)
+            if ":" in net:
+                net, b = net.split(":", 1)
+                rec = bench_net(net, batches=(int(b),))
+            else:
+                rec = bench_net(net)
         except Exception as e:
             rec = {"net": net,
                    "error": f"{type(e).__name__}: {str(e)[:300]}"}

@@ -33,18 +33,21 @@ from dualvar_tpu.models.heads import LinearClassifier
 
 T, H0, W0, IMG = 16, 171, 128, 112
 
+# largest first; OOM falls back. Round-4 sweep 1 capped the FLOP-light
+# families analytically — caps raised so the fallback finds the real wall.
 CANDIDATES = {
     "r3d": (512, 256, 128),
-    "r21d": (256, 128, 64),
+    "r21d": (512, 256, 128, 64),
     "c3d": (512, 256, 128),
-    "s3d": (256, 128, 64),
-    "s3dg": (256, 128, 64),
-    "r2d3d18": (512, 256, 128),
-    "r50": (256, 128, 64),
+    "s3d": (512, 256, 128, 64),
+    "s3dg": (512, 256, 128, 64),
+    "r2d3d18": (1024, 512, 256, 128),
+    "r50": (512, 256, 128, 64),
 }
 
 
-def bench_net(net: str, n_steps: int = 20, chains: int = 3):
+def bench_net(net: str, n_steps: int = 20, chains: int = 3,
+              batches=None):
     aug_cfg = AugConfig(img_dim=IMG, seq_len=T)
     backbone, info = select_backbone(net, dtype=jnp.bfloat16)
     model = LinearClassifier(backbone=backbone,
@@ -64,7 +67,7 @@ def bench_net(net: str, n_steps: int = 20, chains: int = 3):
         return jax.nn.softmax(logit.astype(jnp.float32), axis=-1)
 
     B = None
-    for cand in CANDIDATES[net]:
+    for cand in (batches or CANDIDATES[net]):
         frames = jax.device_put(np.random.default_rng(0).integers(
             0, 255, (cand, T, H0, W0, 3), dtype=np.uint8))
         try:
@@ -113,32 +116,27 @@ def bench_net(net: str, n_steps: int = 20, chains: int = 3):
 
 
 def _merge_result(path: str, rec: dict):
-    """Merge one net's record into the JSON, keyed by net name — results
-    land as they are measured so a relay death mid-sweep loses nothing."""
-    doc = {"shape": f"16x{IMG}^2 center-crop eval, bf16",
-           "device": jax.devices()[0].device_kind, "results": []}
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                doc = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            pass
-    doc["results"] = ([r for r in doc.get("results", [])
-                       if r.get("net") != rec["net"]] + [rec])
-    doc["results"].sort(key=lambda r: list(CANDIDATES).index(r["net"])
-                        if r.get("net") in CANDIDATES else 99)
-    with open(path, "w") as f:
-        json.dump(doc, f, indent=1)
+    """Land-as-measured, best-row merge (scripts/_sweep_merge.py)."""
+    from _sweep_merge import merge_result
+    merge_result(path, rec,
+                 {"shape": f"16x{IMG}^2 center-crop eval, bf16",
+                  "device": jax.devices()[0].device_kind, "results": []},
+                 list(CANDIDATES))
 
 
 def main():
+    # args: net names, or net:batch for a targeted single-batch probe
     nets = sys.argv[1:] or list(CANDIDATES)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_EVAL.json")
     out = []
     for net in nets:
         try:
-            rec = bench_net(net)
+            if ":" in net:
+                net, b = net.split(":", 1)
+                rec = bench_net(net, batches=(int(b),))
+            else:
+                rec = bench_net(net)
         except Exception as e:
             rec = {"net": net,
                    "error": f"{type(e).__name__}: {str(e)[:300]}"}

@@ -169,22 +169,13 @@ def bench_unit(name: str, n_steps: int = 20, chains: int = 3):
 
 
 def _merge_result(path: str, rec: dict):
-    """Merge one unit's record into the JSON keyed by name — results land
-    as measured so a relay death mid-sweep loses nothing."""
-    doc = {"shape": f"16x{IMG}^2, fused aug, bf16, production train step",
-           "device": jax.devices()[0].device_kind, "results": []}
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                doc = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            pass
-    doc["results"] = ([r for r in doc.get("results", [])
-                       if r.get("name") != rec["name"]] + [rec])
-    doc["results"].sort(key=lambda r: list(UNITS).index(r["name"])
-                        if r.get("name") in UNITS else 99)
-    with open(path, "w") as f:
-        json.dump(doc, f, indent=1)
+    """Land-as-measured, best-row merge (scripts/_sweep_merge.py)."""
+    from _sweep_merge import merge_result
+    merge_result(path, rec,
+                 {"shape": f"16x{IMG}^2, fused aug, bf16, "
+                           "production train step",
+                  "device": jax.devices()[0].device_kind, "results": []},
+                 list(UNITS), key="name")
 
 
 def main():

@@ -60,6 +60,44 @@ def test_merge_replaces_error_with_success_and_tolerates_corrupt(tmp_path):
         assert [r["net"] for r in doc["results"]] == ["c3d"]
 
 
+def test_merge_best_row_policy(tmp_path):
+    """Measured rows are protected: errors never clobber them, slower
+    per-clip re-measurements land as annotations, faster ones take over
+    and keep the old row as the annotation (scripts/_sweep_merge.py)."""
+    for i, (merge, _) in enumerate(_merge_fns()):
+        path = str(tmp_path / f"best{i}.json")
+        merge(path, {"net": "s3d", "batch": 64, "ms_per_step": 91.9,
+                     "clips_per_sec": 1393.0})
+        # error attempt must not replace the measured row
+        merge(path, {"net": "s3d", "error": "relay wedged"})
+        doc = json.load(open(path))
+        (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
+        assert rec["clips_per_sec"] == 1393.0 and "error" not in rec
+        # slower larger batch -> annotation, row unchanged
+        merge(path, {"net": "s3d", "batch": 256, "ms_per_step": 400.0,
+                     "clips_per_sec": 1280.0})
+        doc = json.load(open(path))
+        (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
+        assert rec["batch"] == 64
+        assert rec["also_measured"] == [
+            {"batch": 256, "ms_per_step": 400.0, "clips_per_sec": 1280.0}]
+        # re-measuring the same batch updates the annotation in place
+        merge(path, {"net": "s3d", "batch": 256, "ms_per_step": 390.0,
+                     "clips_per_sec": 1313.0})
+        doc = json.load(open(path))
+        (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
+        assert len(rec["also_measured"]) == 1
+        assert rec["also_measured"][0]["clips_per_sec"] == 1313.0
+        # faster batch takes the row and carries the old one along
+        merge(path, {"net": "s3d", "batch": 128, "ms_per_step": 160.0,
+                     "clips_per_sec": 1600.0})
+        doc = json.load(open(path))
+        (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
+        assert rec["batch"] == 128 and rec["clips_per_sec"] == 1600.0
+        assert {"batch": 64, "ms_per_step": 91.9,
+                "clips_per_sec": 1393.0} in rec["also_measured"]
+
+
 def test_watcher_done_requires_error_free_record(tmp_path, monkeypatch):
     monkeypatch.setattr(watch, "REPO", str(tmp_path))
     art = "BENCH_X.json"
