@@ -100,8 +100,27 @@ def _error_record(msg: str) -> dict:
     return rec
 
 
+# Absolute watchdog bookkeeping: BENCH_START_TS is stamped at first launch
+# and survives preflight re-execs, so retries can never push the bench past
+# the driver's budget.
+_DEADLINE = {"t_end": None}
+
+
+def _watchdog_remaining_s() -> float:
+    t_end = _DEADLINE["t_end"]
+    return float("inf") if t_end is None else t_end - time.monotonic()
+
+
 def _arm_watchdog(deadline_s: float):
     import threading
+
+    start_ts = os.environ.get("BENCH_START_TS")
+    if start_ts is not None:
+        # re-exec'd attempt: shrink the deadline by wall time already spent
+        deadline_s = max(30.0, deadline_s - (time.time() - float(start_ts)))
+    else:
+        os.environ["BENCH_START_TS"] = repr(time.time())
+    _DEADLINE["t_end"] = time.monotonic() + deadline_s
 
     def fire():
         # if the headline was already measured (a post-timing stage wedged,
@@ -188,19 +207,47 @@ def _preflight_inparent(deadline_s: float) -> dict:
     on a single-session relay: sitecustomize has already dialed from the
     parent at interpreter start, so the child's claim queues behind it (and
     behind any half-dead sessions a SIGKILL'd probe leaves on the server).
-    If init wedges past the deadline, a daemon timer prints the error
-    record itself and _exits — same parseable-JSON contract as the child
-    path, without the second session."""
+    If init wedges past the deadline, a daemon timer handles it — same
+    parseable-JSON contract as the child path, without the second session.
+
+    Retry policy (round-4 lesson: one transient relay outage nulled the
+    round's record): a wedged init cannot be retried in-process (the PJRT
+    client holds its init lock in the blocked main thread), so the timer
+    RE-EXECS the whole bench with BENCH_ATTEMPT+1 after a backoff — a fresh
+    process gets a fresh relay dial. BENCH_START_TS rides the environment so
+    the global watchdog deadline is absolute across re-execs; when attempts
+    or remaining budget run out, the timer prints the error record and
+    exits as before."""
     import threading
 
     done = threading.Event()
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "1"))
+    max_attempts = int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", "3"))
 
     def _fire():
-        if not done.wait(deadline_s):
-            msg = f"backend init timed out after {deadline_s:.0f}s"
-            log("backend preflight failed:", msg)
-            print(json.dumps(_error_record(msg)), flush=True)
-            os._exit(0)
+        if done.wait(deadline_s):
+            return
+        msg = (f"backend init timed out after {deadline_s:.0f}s "
+               f"(attempt {attempt}/{max_attempts})")
+        log("backend preflight failed:", msg)
+        backoff = 15.0 * attempt
+        remaining = _watchdog_remaining_s()
+        # only re-exec if a full retry (backoff + preflight + margin for
+        # compile/measure) still fits inside the absolute deadline
+        if attempt < max_attempts and remaining > backoff + deadline_s + 420:
+            log(f"retrying after {backoff:.0f}s backoff "
+                f"({remaining:.0f}s of watchdog budget left)")
+            time.sleep(backoff)
+            env = dict(os.environ, BENCH_ATTEMPT=str(attempt + 1))
+            sys.stdout.flush()
+            sys.stderr.flush()
+            try:
+                os.execve(sys.executable,
+                          [sys.executable] + list(sys.argv), env)
+            except OSError as e:
+                log("re-exec failed:", e)
+        print(json.dumps(_error_record(msg)), flush=True)
+        os._exit(0)
 
     threading.Thread(target=_fire, daemon=True).start()
     try:
@@ -392,8 +439,12 @@ def aug_fused_device_check(deadline_s: float = 600.0) -> dict:
         here = os.path.dirname(os.path.abspath(__file__))
         sys.path.insert(0, os.path.join(here, "scripts"))
         import aug_fused_device_check as ac
-        err = ac.run_check()
-        return {"max_err": err, "ok": err < 0.2,
+        # attribute=True proves the max_err is the unfused blur's bf16 MXU
+        # operands (residual with an f32-blur reference must collapse) —
+        # the record carries {op, bound, rationale} per round-4 VERDICT #6
+        err, err32 = ac.run_check(attribute=True)
+        return {"max_err": err, "ok": err < 0.2 and err32 < 5e-3,
+                "attribution": ac.attribution(err, err32),
                 "backend": jax.default_backend()}
 
     return {"aug_fused_check": _run_check_in_thread(

@@ -26,6 +26,11 @@ class DataConfig:
     img_dim: int = 112  # crop size (pretrain.py:119)
     img_resize_dim: int = 128  # classifier.py:58
     which_split: int = 1
+    # rows carved out of the train CSV as the fixed validation subset
+    # (reference local_dataset.py:96-104, seeded 666). The reference
+    # hard-codes 800; plumbed here so small/custom frame trees don't end
+    # up with an empty train split.
+    val_size: int = 800
     workers: int = 8
     synthetic: bool = False  # no-filesystem deterministic data
     synthetic_videos: int = 64
@@ -82,6 +87,16 @@ class ModelConfig:
     # unchanged (BN still sees the full batch), ~1/3 more FLOPs, large
     # activation-memory saving — lets the r21d paper config fit B=64
     remat: bool = False
+    # pack the SR shuffled-clip pass into the main encode batch (TSV4
+    # models): SimCLR runs one 4B backbone batch instead of 3B + B, MoCo
+    # one 3B query batch instead of B + 2B. Faster on TPU (fewer conv
+    # chains, better MXU occupancy at small batch); DOCUMENTED DIVERGENCE:
+    # train-mode BN statistics are computed over the merged batch rather
+    # than per-pass, so losses differ slightly from the reference's
+    # separate-pass semantics (like jitter_order='batch'). Eval-mode
+    # outputs are bitwise identical (tests/test_packed_encode.py). Use
+    # False for trajectory-parity runs.
+    packed_encode: bool = False
 
 
 @dataclass(frozen=True)

@@ -127,6 +127,12 @@ class SimCLRTimeSeriesV4(nn.Module):
     nonlinear: bool = True
     dtype: Any = jnp.float32
     remat: bool = False  # see SimCLRNaked.remat
+    # pack the SR shuffled pass into the main encode: one (4B) backbone
+    # batch instead of (3B) + (B) (round-4 VERDICT #4). Train-mode BN sees
+    # the merged batch — a documented divergence from the reference's
+    # separate passes (model/simclr.py:374-398); eval-mode is bitwise
+    # identical. See core/config.py ModelConfig.packed_encode.
+    packed_encode: bool = False
 
     @property
     def with_clip(self):
@@ -163,7 +169,23 @@ class SimCLRTimeSeriesV4(nn.Module):
         B, n_views = block.shape[:2]
         assert n_views == 3, block.shape
         x = block.reshape(B * 3, *block.shape[2:])
-        pooled = self.pool_backbone(x, train)  # (3B, feat)
+
+        packed_sr = self.with_sr and self.packed_encode
+        sh_pooled = None
+        if packed_sr:
+            # one (4B) backbone batch [v0, v1, v2, shuffled] instead of
+            # (3B) + (B) — fewer conv chains, better MXU occupancy; BN
+            # train stats merge across the views (documented divergence,
+            # see class docstring on packed_encode)
+            if perm is None:
+                perm = random_segment_perms(
+                    self.make_rng("shuffle"), B, self.n_series)
+            shuffled = apply_segment_perm(block[:, 2], perm, self.n_series)
+            pooled_all = self.pool_backbone(
+                jnp.concatenate([x, shuffled], axis=0), train)  # (4B, feat)
+            pooled, sh_pooled = pooled_all[:3 * B], pooled_all[3 * B:]
+        else:
+            pooled = self.pool_backbone(x, train)  # (3B, feat)
 
         ret: dict[str, jax.Array] = {}
         if self.with_clip:
@@ -184,13 +206,14 @@ class SimCLRTimeSeriesV4(nn.Module):
                 align=self.tc_align, dtw_gamma=self.dtw_gamma))
 
         if self.with_sr:
-            if perm is None:
-                perm = random_segment_perms(
-                    self.make_rng("shuffle"), B, self.n_series
-                )
-            extra = block[:, 2]
-            shuffled = apply_segment_perm(extra, perm, self.n_series)
-            sh_pooled = self.pool_backbone(shuffled, train)
+            if not packed_sr:
+                if perm is None:
+                    perm = random_segment_perms(
+                        self.make_rng("shuffle"), B, self.n_series
+                    )
+                extra = block[:, 2]
+                shuffled = apply_segment_perm(extra, perm, self.n_series)
+                sh_pooled = self.pool_backbone(shuffled, train)
             sh_series = l2_normalize(
                 self.series_head(sh_pooled).reshape(B, self.n_series, self.series_dim),
                 axis=-1,
@@ -211,3 +234,17 @@ class SimCLRTimeSeriesV4(nn.Module):
                 )
             )
         return ret
+
+    def get_features(self, x, train: bool = False):
+        """Per-stage channel-mean attention maps for visualization — the
+        TSV4 counterpart of SimCLRNaked.get_features (the reference defines
+        it only on the SimCLR base, model/simclr.py:123-127; round-4 VERDICT
+        asked for it on every pretrain model). Requires a multi_level
+        backbone (r21d) and remat=False."""
+        if self.remat:
+            raise ValueError(
+                "get_features needs the backbone's multi_level arg, which "
+                "the rematted wrapper does not expose; construct the model "
+                "with remat=False for visualization")
+        _, feats = self.backbone(x, train=train, multi_level=True)
+        return [jnp.mean(f, axis=-1) for f in feats]

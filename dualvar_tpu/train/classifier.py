@@ -192,7 +192,8 @@ def build_datasets(cfg: ClassifierConfig, mode: str):
         name = "hmdb51" if "hmdb" in d.dataset else (
             "k400" if "k400" in d.dataset else "ucf101")
         root = d.data_root or os.path.join("process_data", "data", name)
-        entries = load_split(root, mode=mode, which_split=d.which_split)
+        entries = load_split(root, mode=mode, which_split=d.which_split,
+                             val_size=d.val_size)
         class_index = load_class_index(root)
         source = JpegFrameSource(d.db_path, scale=d.scale_hw,
                                  fast_decode=d.fast_decode)
@@ -721,6 +722,10 @@ def main():
                         "near-equal, not bitwise-PIL pixels)")
     p.add_argument("--data_root", default=None)
     p.add_argument("--db_path", default=None)
+    p.add_argument("--val_size", type=int, default=None,
+                   help="rows carved from the train CSV as val (default "
+                        "800, the reference constant; lower for small "
+                        "custom datasets)")
     # optim group
     p.add_argument("--optim", default=None)
     p.add_argument("--batch_size", type=int, default=None)
@@ -750,7 +755,8 @@ def main():
                 args.dataset.split("-")[0], cfg.num_class))
     data = _override(cfg.data, args,
                      ("dataset", "which_split", "seq_len", "num_seq", "ds",
-                      "img_dim", "workers", "data_root", "db_path"))
+                      "img_dim", "workers", "data_root", "db_path",
+                      "val_size"))
     if args.fast_decode is not None:
         data = dataclasses.replace(data, fast_decode=bool(args.fast_decode))
     if args.img_resize_dim is not None:

@@ -27,6 +27,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from ..aug.functional import batch_denorm
 from ..aug.pipeline import AugConfig, pretrain_batch
 from ..core.checkpoint import CheckpointStore, merge_matching_leaves
 from ..core.config import PRETRAIN_PRESETS, PretrainConfig
@@ -187,7 +188,8 @@ def build_dataset(cfg: PretrainConfig, n_views: int = 3):
     else:
         name = d.dataset.split("-")[0]  # ucf101 | hmdb51 | k400
         root = d.data_root or os.path.join("process_data", "data", name)
-        entries = load_split(root, mode="train", which_split=d.which_split)
+        entries = load_split(root, mode="train", which_split=d.which_split,
+                             val_size=d.val_size)
         class_index = load_class_index(root)
         source = JpegFrameSource(d.db_path, scale=d.scale_hw,
                                  fast_decode=d.fast_decode)
@@ -384,6 +386,79 @@ def train(cfg: PretrainConfig, max_steps: int | None = None,
     return final_metrics
 
 
+def visualize(cfg: PretrainConfig, n_samples: int = 4) -> list[str]:
+    """The reference's ``--visualize`` capability (pretrain.py:555,581-584:
+    unshuffled loader, img path swap, attention images through the plotter's
+    image channel, tensorboard_utils.py:17): write the denormed input frame
+    plus per-stage channel-mean attention maps for a handful of samples as
+    PNGs under ``{exp}/img/`` and TensorBoard when available.
+
+    Weights come from ``cfg.run.pretrain`` (weights-only load) when set,
+    otherwise fresh init. Needs a multi_level backbone (r21d). Returns the
+    written file paths."""
+    init_distributed()
+    exp_path = set_path(cfg)
+    logger = get_logger(os.path.join(exp_path, "vis_log"),
+                        process_index=jax.process_index())
+    task = make_task(cfg.model)
+    if cfg.model.net != "r21d":
+        raise ValueError(
+            f"--visualize needs the multi_level backbone ('r21d'), got "
+            f"{cfg.model.net!r} (reference get_features, model/simclr.py:123)")
+    if cfg.model.remat:
+        raise ValueError("--visualize needs remat=False (multi_level arg)")
+
+    dataset = build_dataset(cfg, task.n_views)
+    B = min(n_samples, len(dataset))
+    # unshuffled loader: the reference disables shuffling under --visualize
+    # (pretrain.py:555) so runs are comparable across checkpoints
+    loader = HostLoader(dataset, B, shuffle=False, seed=cfg.run.seed,
+                        num_workers=cfg.data.workers)
+    frames = next(iter(loader.epoch(0)))["frames"]
+
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    example = jnp.zeros((B, task.n_views, cfg.data.seq_len,
+                         cfg.data.img_dim, cfg.data.img_dim, 3), jnp.float32)
+    tstate = task.init(rng, example)
+    if cfg.run.pretrain:
+        st = TrainState(step=jnp.zeros((), jnp.int32), params=tstate.params,
+                        batch_stats=tstate.batch_stats, moco=tstate.moco,
+                        opt_state=())
+        st = _load_pretrain_weights(st, cfg.run.pretrain, logger)
+        tstate = TaskState(params=st.params, batch_stats=st.batch_stats,
+                           moco=st.moco)
+        logger.info(f"=> visualizing weights from '{cfg.run.pretrain}'")
+
+    aug_cfg = AugConfig(img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,
+                        jitter_order=cfg.aug.jitter_order,
+                        fused=cfg.aug.fused_aug)
+    block = pretrain_batch(jax.random.fold_in(rng, 1),
+                           jnp.asarray(frames), aug_cfg)
+    view0 = block[:, 0]  # (B, T, d, d, 3), normalized
+    attn = task.get_features(tstate.params, tstate, view0)
+
+    writer = MetricsWriter(exp_path)  # images land under {exp}/img/
+    written = []
+    mid_in = view0.shape[1] // 2
+    inputs = np.asarray(jnp.clip(batch_denorm(view0[:, mid_in]), 0.0, 1.0))
+    for i in range(B):
+        writer.add_image(f"vis/sample{i}/input", inputs[i], 0)
+        written.append(os.path.join(exp_path, "img",
+                                    f"vis_sample{i}_input_0.png"))
+        for s, fmap in enumerate(attn):
+            a = np.asarray(fmap[i], np.float32)  # (T', H', W')
+            a = a[a.shape[0] // 2]  # middle time slice
+            lo, hi = float(a.min()), float(a.max())
+            a = (a - lo) / (hi - lo) if hi > lo else np.zeros_like(a)
+            writer.add_image(f"vis/sample{i}/stage{s}", a, 0)
+            written.append(os.path.join(exp_path, "img",
+                                        f"vis_sample{i}_stage{s}_0.png"))
+    writer.close()
+    logger.info(f"wrote {len(written)} visualization images under "
+                f"{os.path.join(exp_path, 'img')}")
+    return written
+
+
 def _override(group, args, names):
     """dataclasses.replace(group) with every non-None CLI value in names."""
     kw = {n: getattr(args, n) for n in names if getattr(args, n) is not None}
@@ -415,6 +490,12 @@ def main():
                    help="rematerialize backbone activations in the backward "
                         "pass (numerics unchanged, ~1/3 more FLOPs, large "
                         "activation-memory saving; fits r21d at B=64)")
+    p.add_argument("--packed_encode", type=int, default=None,
+                   choices=[None, 0, 1],
+                   help="pack the SR shuffled pass into the main encode "
+                        "batch (TSV4: faster on TPU; BN train stats merge "
+                        "across views — documented divergence, see "
+                        "core/config.py)")
     # aug group
     p.add_argument("--jitter_order", default=None,
                    choices=[None, "batch", "sample"],
@@ -437,6 +518,10 @@ def main():
     p.add_argument("--dataset", default=None)
     p.add_argument("--data_root", default=None)
     p.add_argument("--db_path", default=None)
+    p.add_argument("--val_size", type=int, default=None,
+                   help="rows carved from the train CSV as val (default "
+                        "800, the reference constant; lower for small "
+                        "custom datasets)")
     p.add_argument("--seq_len", type=int, default=None)
     p.add_argument("--ds", type=int, default=None)
     p.add_argument("--img_dim", type=int, default=None)
@@ -468,12 +553,18 @@ def main():
     # driver extras
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--profile_steps", type=int, default=0)
+    p.add_argument("--visualize", action="store_true",
+                   help="write input + attention-map images under {exp}/img/ "
+                        "instead of training (reference pretrain.py:581; "
+                        "needs --net r21d; use --pretrain for real weights)")
     args = p.parse_args()
 
     cfg = PRETRAIN_PRESETS[args.preset]
+    if args.packed_encode is not None:
+        args.packed_encode = bool(args.packed_encode)
     data = _override(cfg.data, args,
                      ("dataset", "data_root", "db_path", "seq_len", "ds",
-                      "img_dim", "workers", "num_seq"))
+                      "img_dim", "workers", "num_seq", "val_size"))
     if args.fast_decode is not None:
         data = dataclasses.replace(data, fast_decode=bool(args.fast_decode))
     if args.data_root or args.db_path:
@@ -490,7 +581,7 @@ def main():
                         ("net", "model", "mode", "n_series", "series_dim",
                          "shufflerank_theta", "series_T", "aligned_T",
                          "moco_dim", "moco_k", "moco_m", "moco_t",
-                         "moco_shuffle_bn", "remat")),
+                         "moco_shuffle_bn", "remat", "packed_encode")),
         optim=_override(
             dataclasses.replace(
                 cfg.optim,
@@ -504,7 +595,10 @@ def main():
             **({} if args.async_ckpt is None
                else {"async_ckpt": bool(args.async_ckpt)})),
     )
-    train(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps)
+    if args.visualize:
+        visualize(cfg)
+    else:
+        train(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# _sweep_merge lives next to this file; the repo-root insert above does not
+# cover it when these modules are imported from elsewhere (ADVICE r4)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +56,10 @@ CANDIDATES = {
     "c3d": (256, 128, 64, 32),
     "s3d": (256, 128, 64, 32, 16),
     "s3dg": (256, 128, 64, 32, 16),
+    # branch-packed variants (round-4 VERDICT #3): exact same math, merged
+    # 1x1 + block-diagonal separable convs (models/backbones/s3dg.py)
+    "s3d_packed": (256, 128, 64, 32, 16),
+    "s3dg_packed": (256, 128, 64, 32, 16),
     "r2d3d18": (256, 128, 64, 32),
     "r50": (128, 64, 32, 16),
 }
@@ -181,7 +188,8 @@ def main():
         try:
             if ":" in net:
                 net, b = net.split(":", 1)
-                rec = bench_net(net, batches=(int(b),))
+                from _sweep_merge import parse_batches
+                rec = bench_net(net, batches=parse_batches(b))
             else:
                 rec = bench_net(net)
         except Exception as e:

@@ -19,6 +19,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# _sweep_merge lives next to this file; the repo-root insert above does not
+# cover it when these modules are imported from elsewhere (ADVICE r4)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +137,8 @@ def main():
         try:
             if ":" in net:
                 net, b = net.split(":", 1)
-                rec = bench_net(net, batches=(int(b),))
+                from _sweep_merge import parse_batches
+                rec = bench_net(net, batches=parse_batches(b))
             else:
                 rec = bench_net(net)
         except Exception as e:

@@ -33,6 +33,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# _sweep_merge lives next to this file; the repo-root insert above does not
+# cover it when these modules are imported from elsewhere (ADVICE r4)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +71,15 @@ UNITS: dict[str, tuple[ModelConfig, tuple[int, ...]]] = {
                             net="r3d"), (64, 32)),
     "moco_naked_r3d": (
         ModelConfig(net="r3d", model="moco_naked", moco_k=16384), (128, 64)),
+    # packed_encode=True variants (round-4 VERDICT #4): SR pass merged into
+    # the main encode batch — the perf-mode configuration (documented BN
+    # divergence, core/config.py ModelConfig.packed_encode)
+    "simclr_tsv4_r21d_packed": (
+        dataclasses.replace(PRETRAIN_PRESETS["paper_table1_k400"].model,
+                            packed_encode=True), (32, 16)),
+    "moco_tsv4_r21d_packed": (
+        dataclasses.replace(PRETRAIN_PRESETS["paper_table2_moco_r21d"].model,
+                            packed_encode=True), (32, 16)),
 }
 if SMOKE:
     UNITS = {name: (dataclasses.replace(cfg, moco_k=8, dtype="float32"), (2,))

@@ -4,6 +4,14 @@ Forces the CPU platform with 8 virtual XLA devices — the JAX-native
 replacement for a multi-node cluster (SURVEY.md §4) — and a persistent
 compilation cache so repeat test runs skip XLA compiles.
 
+Fast/slow split: the real 2-process ``jax.distributed`` scripts
+(tests/test_multihost.py) are ``@pytest.mark.slow`` and DESELECTED by
+default via ``addopts = "-m 'not slow'"`` in pyproject.toml — they cost
+~45 of the full suite's ~58 min on a 1-core rig. ``pytest tests/`` is the
+<15-min fast path; ``pytest tests/ -m 'slow or not slow'`` runs everything
+(the pre-release habit); ``pytest tests/ -m slow`` runs just the
+distributed scripts.
+
 Must run before jax is imported anywhere.
 """
 

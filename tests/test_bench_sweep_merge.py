@@ -61,27 +61,35 @@ def test_merge_replaces_error_with_success_and_tolerates_corrupt(tmp_path):
 
 
 def test_merge_best_row_policy(tmp_path):
-    """Measured rows are protected: errors never clobber them, slower
-    per-clip re-measurements land as annotations, faster ones take over
-    and keep the old row as the annotation (scripts/_sweep_merge.py)."""
+    """Measured rows are protected but honest: errors never clobber them
+    (yet persist as last_error), slower different-batch re-measurements
+    land as annotations, faster ones take over and keep the old row as the
+    annotation, and a same-batch re-measurement replaces the row so a
+    real regression revises the headline (scripts/_sweep_merge.py)."""
     for i, (merge, _) in enumerate(_merge_fns()):
         path = str(tmp_path / f"best{i}.json")
         merge(path, {"net": "s3d", "batch": 64, "ms_per_step": 91.9,
                      "clips_per_sec": 1393.0})
-        # error attempt must not replace the measured row
-        merge(path, {"net": "s3d", "error": "relay wedged"})
+        doc = json.load(open(path))
+        (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
+        assert rec["measured_at"], "measured rows must carry a timestamp"
+        # error attempt must not replace the measured row, but must leave
+        # a trace on it
+        merge(path, {"net": "s3d", "batch": 64, "error": "relay wedged"})
         doc = json.load(open(path))
         (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
         assert rec["clips_per_sec"] == 1393.0 and "error" not in rec
+        assert rec["last_error"]["error"] == "relay wedged"
+        assert rec["last_error"]["batch"] == 64 and rec["last_error"]["ts"]
         # slower larger batch -> annotation, row unchanged
         merge(path, {"net": "s3d", "batch": 256, "ms_per_step": 400.0,
                      "clips_per_sec": 1280.0})
         doc = json.load(open(path))
         (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
         assert rec["batch"] == 64
-        assert rec["also_measured"] == [
-            {"batch": 256, "ms_per_step": 400.0, "clips_per_sec": 1280.0}]
-        # re-measuring the same batch updates the annotation in place
+        (a,) = rec["also_measured"]
+        assert (a["batch"], a["clips_per_sec"]) == (256, 1280.0)
+        # re-measuring an annotation batch updates the annotation in place
         merge(path, {"net": "s3d", "batch": 256, "ms_per_step": 390.0,
                      "clips_per_sec": 1313.0})
         doc = json.load(open(path))
@@ -94,8 +102,19 @@ def test_merge_best_row_policy(tmp_path):
         doc = json.load(open(path))
         (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
         assert rec["batch"] == 128 and rec["clips_per_sec"] == 1600.0
-        assert {"batch": 64, "ms_per_step": 91.9,
-                "clips_per_sec": 1393.0} in rec["also_measured"]
+        by_batch = {a["batch"]: a for a in rec["also_measured"]}
+        assert by_batch[64]["clips_per_sec"] == 1393.0
+        assert by_batch[256]["clips_per_sec"] == 1313.0
+        # SAME-batch slower re-measurement revises the headline row —
+        # the artifact is latest-measured-per-batch, not max-over-runs
+        merge(path, {"net": "s3d", "batch": 128, "ms_per_step": 170.0,
+                     "clips_per_sec": 1505.0})
+        doc = json.load(open(path))
+        (rec,) = [r for r in doc["results"] if r["net"] == "s3d"]
+        assert rec["clips_per_sec"] == 1505.0, \
+            "same-batch re-measurement must replace the row"
+        assert {a["batch"] for a in rec["also_measured"]} == {64, 256}, \
+            "other-batch annotations must be carried through"
 
 
 def test_watcher_done_requires_error_free_record(tmp_path, monkeypatch):

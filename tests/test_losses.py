@@ -147,3 +147,33 @@ def test_calc_mask_accuracy():
     top1, top2 = calc_mask_accuracy(logits, mask, (1, 2))
     assert float(top1) == pytest.approx(0.5)  # row0 top1 hits, row1 misses
     assert float(top2) == pytest.approx(1.0)  # row1's positive in top-2
+
+
+def test_mask_accuracy_matches_reference_semantics():
+    """mask_accuracy (reference utils/utils.py:95-109 calc_mask_accuracy):
+    correct at k iff any top-k index is a positive of the multi-hot mask."""
+    import numpy as np
+
+    from dualvar_tpu.models.ssl.losses import mask_accuracy
+
+    logits = jnp.asarray([[9.0, 5.0, 1.0, 0.0],
+                          [0.0, 1.0, 5.0, 9.0],
+                          [9.0, 8.0, 7.0, 0.0]])
+    mask = jnp.asarray([[0, 1, 0, 0],
+                        [0, 0, 1, 0],
+                        [0, 0, 0, 1]], jnp.int32)
+    a1, a2, a3 = mask_accuracy(logits, mask, ks=(1, 2, 3))
+    # top-1: none of the argmaxes is a positive
+    assert float(a1) == 0.0
+    # top-2: rows 0 (idx 1) and 1 (idx 2) hit
+    assert np.isclose(float(a2), 2 / 3)
+    assert np.isclose(float(a3), 2 / 3)
+    # numpy oracle on random data
+    rng = np.random.RandomState(0)
+    lg = rng.randn(32, 10).astype(np.float32)
+    mk = (rng.rand(32, 10) < 0.3).astype(np.int32)
+    for k, acc in zip((1, 3, 5), mask_accuracy(jnp.asarray(lg),
+                                               jnp.asarray(mk), ks=(1, 3, 5))):
+        top = np.argsort(-lg, axis=1)[:, :k]
+        want = np.mean([mk[i, top[i]].any() for i in range(32)])
+        assert np.isclose(float(acc), want), k

@@ -10,6 +10,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_two_process_distributed_smoke():
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
@@ -28,6 +29,7 @@ def test_two_process_distributed_smoke():
     assert "multihost smoke PASSED" in out.stdout
 
 
+@pytest.mark.slow
 def test_two_process_eval_protocol_equivalence():
     """10-crop and temporal-10-clip under 2 jax.distributed processes must
     produce bit-identical accuracies to a single-process run (the
@@ -43,6 +45,25 @@ def test_two_process_eval_protocol_equivalence():
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "multihost eval check PASSED" in out.stdout
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_save_restore():
+    """CheckpointStore.save on ALL processes under 2 jax.distributed
+    processes (the claimed-but-untested orbax multi-host sync,
+    train/pretrain.py:369-373; round-4 VERDICT #5): save (async) ->
+    restore bitwise -> resumed step losses bitwise-equal to the
+    single-process oracle."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "multihost_ckpt_check.py")],
+        # oracle (<=900s) + two 560s worker attempts (_mh_launch retry)
+        capture_output=True, text=True, timeout=2200, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "multihost ckpt check PASSED" in out.stdout
 
 
 def test_init_distributed_ignores_sentinel_env(monkeypatch):
