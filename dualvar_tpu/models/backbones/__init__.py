@@ -60,6 +60,21 @@ def select_backbone(network: str, dtype=jnp.float32, remat: bool = False):
         return cls(S3D)(dtype=dtype), {"feature_size": 1024}
     if network == "s3dg":
         return cls(S3D)(gating=True, dtype=dtype), {"feature_size": 1024}
+    if network == "s3d_packed":
+        # TPU-native variant with EXACT math parity: branch-packed
+        # SepInception (one merged 1x1 matmul + block-diagonal separable
+        # convs) — same function, different param layout; convert
+        # checkpoints with s3dg.pack_s3d_params/unpack_s3d_params.
+        # Measured SLOWER than the standard form on v5e (94.3 vs 91.9 ms
+        # at B=64; s3dg 96.9 vs 93.0): S3D is bandwidth-bound (arith
+        # intensity 69.6 FLOP/byte vs the 240.5 roofline knee,
+        # scripts/s3d_bw_accounting.py), so merging convs adds block-diag
+        # FLOPs/bytes without relieving the actual bottleneck — kept as
+        # the recorded round-5 attempt (like r21d_pad128)
+        return cls(S3D)(packed=True, dtype=dtype), {"feature_size": 1024}
+    if network == "s3dg_packed":
+        return cls(S3D)(gating=True, packed=True, dtype=dtype), {
+            "feature_size": 1024}
     if network == "c3d":
         return cls(C3D)(dtype=dtype), {"feature_size": 512}
     if network == "r3d":

@@ -4,12 +4,34 @@ Capability parity with reference backbone/s3dg.py: STConv3d separable
 convolutions, SepInception blocks, per-branch SelfGating when ``gating``.
 Output for (B, 16, 112, 112, 3) is (B, 2, 3, 3, 1024); 7,910,048 parameters
 (S3D) / 9,098,000 (S3D-G).
+
+TPU-native packed variant (round-4 VERDICT #3; registry 's3d_packed' /
+'s3dg_packed'): ``PackedSepInception`` executes the same math with the
+branches PACKED — the three 1x1 convs over the shared input become one
+matmul, and the two separable 3x3 branches run as block-diagonal convs over
+the concatenated channels. The tiny per-branch channel counts (16-48) that
+leave MXU lanes idle in the unpacked form ride in the same tiles as the
+large branch; per-branch BNs merge into per-channel-identical merged BNs.
+``pack_s3d_params`` / ``unpack_s3d_params`` convert checkpoints exactly
+(zero off-diagonal blocks are trace-time constants, so gradients and
+numerics match the unpacked network — tests/test_s3d_packed.py).
+
+OUTCOME (2026-08-20, v5e, B=64 pretrain step): packed measured SLOWER —
+s3d 94.3 vs 91.9 ms, s3dg 96.9 vs 93.0 ms. The tile-padding hypothesis is
+refuted: S3D is bandwidth-bound, not MXU-bound (arithmetic intensity 69.6
+FLOP/byte vs the v5e roofline knee of 240.5 => MFU is roofline-capped at
+~29%, and the standard form already achieves 61% of the 819 GB/s HBM roof
+— scripts/s3d_bw_accounting.py). Packing adds block-diagonal FLOPs and
+kernel bytes without reducing activation traffic. Kept as the recorded
+attempt with exact-parity tests; the bound is now demonstrated, not
+claimed.
 """
 
 from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -110,16 +132,117 @@ class SepInception(nn.Module):
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)
 
 
+def _conv_st1(x, kernel, padding):
+    """Stride-1 channels-last conv (same dimension numbers as layers.Conv3d)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1, 1),
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+
+
+def _block_diag(k1, k2):
+    """Block-diagonal kernel over (in, out): [[k1, 0], [0, k2]].
+
+    The zero blocks are trace-time constants, NOT parameters — gradients
+    flow only through k1/k2, and the extra products are exact zeros, so the
+    packed conv is numerically identical to the two separate convs."""
+    kt, kh, kw, i1, o1 = k1.shape
+    _, _, _, i2, o2 = k2.shape
+    top = jnp.concatenate([k1, jnp.zeros((kt, kh, kw, i1, o2), k1.dtype)],
+                          axis=-1)
+    bot = jnp.concatenate([jnp.zeros((kt, kh, kw, i2, o1), k2.dtype), k2],
+                          axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+class PackedSepInception(nn.Module):
+    """Branch-packed SepInception: same math as ``SepInception`` in 4 convs
+    instead of 8 (see module docstring). Parameter layout differs (merged
+    1x1 kernel + merged BNs); ``pack_sep_inception`` maps the standard
+    layout onto this one exactly."""
+
+    out_planes: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3b]
+    gating: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        b0, b1a, b1b, b2a, b2b, b3b = self.out_planes
+        dt = self.dtype
+        cin = x.shape[-1]
+        xd = x.astype(dt)
+
+        # stage 1: the three 1x1 convs over the SHARED input as one matmul
+        k1x1 = self.param("conv1x1_kernel", normal_init(0.01),
+                          (1, 1, 1, cin, b0 + b1a + b2a), jnp.float32)
+        y = _conv_st1(xd, k1x1.astype(dt), (0, 0, 0))
+        y = BatchNorm(dtype=dt, name="bn1x1")(y, not train)
+        y = nn.relu(y)
+        y0 = y[..., :b0]
+
+        # stage 2: both branches' (1,3,3) spatial convs, block-diagonal
+        ks1 = self.param("spatial_b1_kernel", normal_init(0.01),
+                         (1, 3, 3, b1a, b1b), jnp.float32)
+        ks2 = self.param("spatial_b2_kernel", normal_init(0.01),
+                         (1, 3, 3, b2a, b2b), jnp.float32)
+        z = _conv_st1(y[..., b0:], _block_diag(ks1, ks2).astype(dt),
+                      (0, 1, 1))
+        z = BatchNorm(dtype=dt, name="bn_spatial")(z, not train)
+        z = nn.relu(z)
+
+        # stage 3: both branches' (3,1,1) temporal convs, block-diagonal
+        kt1 = self.param("temporal_b1_kernel", normal_init(0.01),
+                         (3, 1, 1, b1b, b1b), jnp.float32)
+        kt2 = self.param("temporal_b2_kernel", normal_init(0.01),
+                         (3, 1, 1, b2b, b2b), jnp.float32)
+        w = _conv_st1(z, _block_diag(kt1, kt2).astype(dt), (1, 0, 0))
+        w = BatchNorm(dtype=dt, name="bn_temporal")(w, not train)
+        w = nn.relu(w)
+        x1, x2 = w[..., :b1b], w[..., b1b:]
+
+        # branch3: pooled input — cannot share the merged 1x1
+        x3 = max_pool3d(x, 3, 1, 1)
+        x3 = BasicConv3d(b3b, 1, dtype=dt, name="branch3_1")(x3, train)
+
+        if self.gating:
+            y0 = SelfGating(dtype=dt, name="gating_b0")(y0)
+            x1 = SelfGating(dtype=dt, name="gating_b1")(x1)
+            x2 = SelfGating(dtype=dt, name="gating_b2")(x2)
+            x3 = SelfGating(dtype=dt, name="gating_b3")(x3)
+        return jnp.concatenate([y0, x1, x2, x3], axis=-1)
+
+
+# block name -> out_planes (reference backbone/s3dg.py:135-217); shared by
+# S3D.__call__ and the pack/unpack converters
+MIX_PLANES: dict[str, list[int]] = {
+    "Mixed_3b": [64, 96, 128, 16, 32, 32],
+    "Mixed_3c": [128, 128, 192, 32, 96, 64],
+    "Mixed_4b": [192, 96, 208, 16, 48, 64],
+    "Mixed_4c": [160, 112, 224, 24, 64, 64],
+    "Mixed_4d": [128, 128, 256, 24, 64, 64],
+    "Mixed_4e": [112, 144, 288, 32, 64, 64],
+    "Mixed_4f": [256, 160, 320, 32, 128, 128],
+    "Mixed_5b": [256, 160, 320, 32, 128, 128],
+    "Mixed_5c": [384, 192, 384, 48, 128, 128],
+}
+
+
 class S3D(nn.Module):
-    """Reference backbone/s3dg.py:135-217 (S3D / S3D-G)."""
+    """Reference backbone/s3dg.py:135-217 (S3D / S3D-G).
+
+    ``packed=True`` swaps every SepInception for PackedSepInception (same
+    math, branch-packed convs; different param layout — convert with
+    pack_s3d_params/unpack_s3d_params)."""
 
     gating: bool = False
     slow: bool = False
+    packed: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g, dt = self.gating, self.dtype
+        block = PackedSepInception if self.packed else SepInception
         stride1 = (1, 2, 2) if self.slow else 2
         x = STConv3d(64, 7, stride=stride1, padding=3, dtype=dt, name="Conv_1a")(x, train)
         # block2
@@ -128,17 +251,105 @@ class S3D(nn.Module):
         x = STConv3d(192, 3, padding=1, dtype=dt, name="Conv_2c")(x, train)
         # block3
         x = max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-        x = SepInception([64, 96, 128, 16, 32, 32], g, dt, name="Mixed_3b")(x, train)
-        x = SepInception([128, 128, 192, 32, 96, 64], g, dt, name="Mixed_3c")(x, train)
+        x = block(MIX_PLANES["Mixed_3b"], g, dt, name="Mixed_3b")(x, train)
+        x = block(MIX_PLANES["Mixed_3c"], g, dt, name="Mixed_3c")(x, train)
         # block4
         x = max_pool3d(x, 3, 2, 1)
-        x = SepInception([192, 96, 208, 16, 48, 64], g, dt, name="Mixed_4b")(x, train)
-        x = SepInception([160, 112, 224, 24, 64, 64], g, dt, name="Mixed_4c")(x, train)
-        x = SepInception([128, 128, 256, 24, 64, 64], g, dt, name="Mixed_4d")(x, train)
-        x = SepInception([112, 144, 288, 32, 64, 64], g, dt, name="Mixed_4e")(x, train)
-        x = SepInception([256, 160, 320, 32, 128, 128], g, dt, name="Mixed_4f")(x, train)
+        x = block(MIX_PLANES["Mixed_4b"], g, dt, name="Mixed_4b")(x, train)
+        x = block(MIX_PLANES["Mixed_4c"], g, dt, name="Mixed_4c")(x, train)
+        x = block(MIX_PLANES["Mixed_4d"], g, dt, name="Mixed_4d")(x, train)
+        x = block(MIX_PLANES["Mixed_4e"], g, dt, name="Mixed_4e")(x, train)
+        x = block(MIX_PLANES["Mixed_4f"], g, dt, name="Mixed_4f")(x, train)
         # block5
         x = max_pool3d(x, 2, 2, 0)
-        x = SepInception([256, 160, 320, 32, 128, 128], g, dt, name="Mixed_5b")(x, train)
-        x = SepInception([384, 192, 384, 48, 128, 128], g, dt, name="Mixed_5c")(x, train)
+        x = block(MIX_PLANES["Mixed_5b"], g, dt, name="Mixed_5b")(x, train)
+        x = block(MIX_PLANES["Mixed_5c"], g, dt, name="Mixed_5c")(x, train)
         return x
+
+
+# ---------------------------------------------------------------------------
+# standard <-> packed checkpoint conversion (exact, invertible)
+# ---------------------------------------------------------------------------
+
+def _cat(trees, path, axis=-1):
+    leaves = []
+    for t in trees:
+        for k in path:
+            t = t[k]
+        leaves.append(t)
+    return jnp.concatenate(leaves, axis=axis)
+
+
+def _pack_block(std: dict) -> dict:
+    """One SepInception subtree (params or batch_stats) -> packed layout."""
+    out: dict = {}
+    has_params = "branch0" in std and "conv" in std["branch0"]
+    b123 = [std.get(n, {}) for n in ("branch0", "branch1_0", "branch2_0")]
+    if has_params:
+        out["conv1x1_kernel"] = _cat(b123, ("conv", "kernel"))
+        out["spatial_b1_kernel"] = std["branch1_1"]["conv1"]["kernel"]
+        out["spatial_b2_kernel"] = std["branch2_1"]["conv1"]["kernel"]
+        out["temporal_b1_kernel"] = std["branch1_1"]["conv2"]["kernel"]
+        out["temporal_b2_kernel"] = std["branch2_1"]["conv2"]["kernel"]
+    # BN leaves: params {scale,bias} / batch_stats {mean,var}
+    bn_keys = list(std["branch0"]["bn"]["bn"].keys()) if has_params else \
+        list(std["branch0"]["bn"]["bn"].keys())
+    out["bn1x1"] = {"bn": {k: _cat(b123, ("bn", "bn", k)) for k in bn_keys}}
+    sp = [std["branch1_1"], std["branch2_1"]]
+    out["bn_spatial"] = {"bn": {k: _cat(sp, ("bn1", "bn", k))
+                                for k in bn_keys}}
+    out["bn_temporal"] = {"bn": {k: _cat(sp, ("bn2", "bn", k))
+                                 for k in bn_keys}}
+    out["branch3_1"] = std["branch3_1"]
+    for g in ("gating_b0", "gating_b1", "gating_b2", "gating_b3"):
+        if g in std:
+            out[g] = std[g]
+    return out
+
+
+def _unpack_block(packed: dict, planes: Sequence[int]) -> dict:
+    b0, b1a, b1b, b2a, b2b, b3b = planes
+    out: dict = {}
+    has_params = "conv1x1_kernel" in packed
+
+    def split3(arr):
+        return arr[..., :b0], arr[..., b0:b0 + b1a], arr[..., b0 + b1a:]
+
+    def split2(arr):
+        return arr[..., :b1b], arr[..., b1b:]
+
+    bn1 = {k: split3(v) for k, v in packed["bn1x1"]["bn"].items()}
+    bns = {k: split2(v) for k, v in packed["bn_spatial"]["bn"].items()}
+    bnt = {k: split2(v) for k, v in packed["bn_temporal"]["bn"].items()}
+    for i, name in enumerate(("branch0", "branch1_0", "branch2_0")):
+        out[name] = {"bn": {"bn": {k: v[i] for k, v in bn1.items()}}}
+    out["branch1_1"] = {"bn1": {"bn": {k: v[0] for k, v in bns.items()}},
+                        "bn2": {"bn": {k: v[0] for k, v in bnt.items()}}}
+    out["branch2_1"] = {"bn1": {"bn": {k: v[1] for k, v in bns.items()}},
+                        "bn2": {"bn": {k: v[1] for k, v in bnt.items()}}}
+    if has_params:
+        k0, k1a, k2a = split3(packed["conv1x1_kernel"])
+        out["branch0"]["conv"] = {"kernel": k0}
+        out["branch1_0"]["conv"] = {"kernel": k1a}
+        out["branch2_0"]["conv"] = {"kernel": k2a}
+        out["branch1_1"]["conv1"] = {"kernel": packed["spatial_b1_kernel"]}
+        out["branch1_1"]["conv2"] = {"kernel": packed["temporal_b1_kernel"]}
+        out["branch2_1"]["conv1"] = {"kernel": packed["spatial_b2_kernel"]}
+        out["branch2_1"]["conv2"] = {"kernel": packed["temporal_b2_kernel"]}
+    out["branch3_1"] = packed["branch3_1"]
+    for g in ("gating_b0", "gating_b1", "gating_b2", "gating_b3"):
+        if g in packed:
+            out[g] = packed[g]
+    return out
+
+
+def pack_s3d_params(tree: dict) -> dict:
+    """Standard S3D params or batch_stats tree -> packed layout (exact)."""
+    return {k: (_pack_block(v) if k in MIX_PLANES else v)
+            for k, v in tree.items()}
+
+
+def unpack_s3d_params(tree: dict) -> dict:
+    """Packed S3D params or batch_stats tree -> standard layout (exact)."""
+    return {k: (_unpack_block(v, MIX_PLANES[k]) if k in MIX_PLANES else v)
+            for k, v in tree.items()}

@@ -280,19 +280,41 @@ def _bn_train_fused(x: Array, scale: Array, bias: Array, eps: float):
     return y, mu, var
 
 
+def _use_pallas_stats(x) -> bool:
+    """Opt-in (DUALVAR_BN_STATS=pallas): route BN stat reductions through
+    the opaque Pallas kernel (ops/bn_stats.py). Measured 1.59x SLOWER than
+    the fused-XLA path on the flagship step — kept as the recorded
+    fusion-ceiling attempt #2 (see ops/bn_stats.py OUTCOME)."""
+    if x.dtype == jnp.float64:  # f64 exactness tests use the XLA path
+        return False
+    from ..ops.bn_stats import use_pallas_stats
+
+    return use_pallas_stats()
+
+
 def _bn_train_fwd_impl(x, scale, bias, eps):
+    # f32 accumulation off bf16/f32 maps (the TPU fast path); f64 inputs
+    # keep f64 stats — an f32 one-pass var under f64 compute picks up
+    # layout-dependent rounding (~1e-7), which breaks the f64 exactness
+    # that equivalence tests (e.g. packed S3D) rely on
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
     axes = tuple(range(x.ndim - 1))
     n = 1
     for d in axes:
         n *= x.shape[d]
-    s1 = jnp.sum(x, axis=axes, dtype=jnp.float32)
-    s2 = jnp.sum(jax.lax.square(x.astype(jnp.float32)), axis=axes)
+    if _use_pallas_stats(x):
+        from ..ops.bn_stats import channel_sums
+
+        s1, s2 = channel_sums(x, x)
+    else:
+        s1 = jnp.sum(x, axis=axes, dtype=acc)
+        s2 = jnp.sum(jax.lax.square(x.astype(acc)), axis=axes)
     mu = s1 / n
     var = jnp.maximum(s2 / n - mu * mu, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    sc = scale.astype(jnp.float32)
+    sc = scale.astype(acc)
     a = (inv * sc).astype(x.dtype)
-    b = (bias.astype(jnp.float32) - mu * inv * sc).astype(x.dtype)
+    b = (bias.astype(acc) - mu * inv * sc).astype(x.dtype)
     return x * a + b, mu, var, inv
 
 
@@ -309,8 +331,13 @@ def _bn_train_vjp_bwd(eps, res, cotangents):
     for d in axes:
         n *= x.shape[d]
     # channel sums off the bf16 maps, f32 accumulation, one fused pass
-    s_g = jnp.sum(g, axis=axes, dtype=jnp.float32)
-    s_gx = jnp.sum((g * x), axis=axes, dtype=jnp.float32)
+    if _use_pallas_stats(x):
+        from ..ops.bn_stats import channel_sums
+
+        s_g, s_gx = channel_sums(g, x)
+    else:
+        s_g = jnp.sum(g, axis=axes, dtype=jnp.float32)
+        s_gx = jnp.sum((g * x), axis=axes, dtype=jnp.float32)
     s_gc = s_gx - mu * s_g  # sum g*(x-mu)
     sc = scale.astype(jnp.float32)
     dscale = (s_gc * inv).astype(scale.dtype)
