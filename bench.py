@@ -237,7 +237,11 @@ def _preflight_inparent(deadline_s: float) -> dict:
         if attempt < max_attempts and remaining > backoff + deadline_s + 420:
             log(f"retrying after {backoff:.0f}s backoff "
                 f"({remaining:.0f}s of watchdog budget left)")
-            time.sleep(backoff)
+            # the backoff doubles as a grace window: if init completes just
+            # past the deadline, do NOT discard the now-healthy run
+            if done.wait(backoff):
+                log("backend init completed during backoff; retry aborted")
+                return
             env = dict(os.environ, BENCH_ATTEMPT=str(attempt + 1))
             sys.stdout.flush()
             sys.stderr.flush()
@@ -246,6 +250,9 @@ def _preflight_inparent(deadline_s: float) -> dict:
                           [sys.executable] + list(sys.argv), env)
             except OSError as e:
                 log("re-exec failed:", e)
+        if done.is_set():  # init landed after the final deadline — keep it
+            log("backend init completed late; continuing without retry")
+            return
         print(json.dumps(_error_record(msg)), flush=True)
         os._exit(0)
 

@@ -47,15 +47,6 @@ def normalize(clip: Array, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> Array:
     return (clip - mean) / std
 
 
-def batch_denorm(clip: Array, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> Array:
-    """Invert ``normalize`` for visualization (reference utils/utils.py:65-72
-    batch_denorm; channel-last here, so no view-shape gymnastics). Returns
-    values nominally in [0, 1]."""
-    mean = jnp.asarray(mean, clip.dtype)
-    std = jnp.asarray(std, clip.dtype)
-    return clip * std + mean
-
-
 def grayscale(clip: Array) -> Array:
     """Luminance, keepdims 1 channel."""
     w = jnp.asarray(_GRAY_W, clip.dtype)

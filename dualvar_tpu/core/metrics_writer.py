@@ -73,16 +73,22 @@ class MetricsWriter:
             kind, tag, value, step = self._q.get()
             if kind == "stop":
                 return
-            if kind == "image":
-                self._write_image(tag, value, step)
-                continue
-            self._jsonl.write(
-                json.dumps({"tag": tag, "value": value, "step": step,
-                            "ts": time.time()}) + "\n"
-            )
-            self._jsonl.flush()
-            if self._tb is not None:
-                self._tb.add_scalar(tag, value, step)
+            try:
+                if kind == "image":
+                    self._write_image(tag, value, step)
+                    continue
+                self._jsonl.write(
+                    json.dumps({"tag": tag, "value": value, "step": step,
+                                "ts": time.time()}) + "\n"
+                )
+                self._jsonl.flush()
+                if self._tb is not None:
+                    self._tb.add_scalar(tag, value, step)
+            except Exception as e:  # a bad item must not kill the sink
+                # (disk full, unwritable img dir, TB failure): later
+                # scalars/images still matter more than this one
+                print(f"[metrics_writer] dropped {kind} {tag!r}: {e}",
+                      flush=True)
 
     def close(self):
         self._q.put(("stop", "", 0.0, 0))

@@ -292,8 +292,7 @@ def _pack_block(std: dict) -> dict:
         out["temporal_b1_kernel"] = std["branch1_1"]["conv2"]["kernel"]
         out["temporal_b2_kernel"] = std["branch2_1"]["conv2"]["kernel"]
     # BN leaves: params {scale,bias} / batch_stats {mean,var}
-    bn_keys = list(std["branch0"]["bn"]["bn"].keys()) if has_params else \
-        list(std["branch0"]["bn"]["bn"].keys())
+    bn_keys = list(std["branch0"]["bn"]["bn"].keys())
     out["bn1x1"] = {"bn": {k: _cat(b123, ("bn", "bn", k)) for k in bn_keys}}
     sp = [std["branch1_1"], std["branch2_1"]]
     out["bn_spatial"] = {"bn": {k: _cat(sp, ("bn1", "bn", k))

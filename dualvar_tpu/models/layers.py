@@ -330,16 +330,20 @@ def _bn_train_vjp_bwd(eps, res, cotangents):
     n = 1
     for d in axes:
         n *= x.shape[d]
-    # channel sums off the bf16 maps, f32 accumulation, one fused pass
+    # channel sums off the bf16 maps, f32 accumulation, one fused pass;
+    # f64 inputs keep f64 sums for the same layout-independence reason as
+    # the forward stats (the packed-S3D f64 gradient-exactness tests rely
+    # on it)
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
     if _use_pallas_stats(x):
         from ..ops.bn_stats import channel_sums
 
         s_g, s_gx = channel_sums(g, x)
     else:
-        s_g = jnp.sum(g, axis=axes, dtype=jnp.float32)
-        s_gx = jnp.sum((g * x), axis=axes, dtype=jnp.float32)
+        s_g = jnp.sum(g, axis=axes, dtype=acc)
+        s_gx = jnp.sum((g * x), axis=axes, dtype=acc)
     s_gc = s_gx - mu * s_g  # sum g*(x-mu)
-    sc = scale.astype(jnp.float32)
+    sc = scale.astype(acc)
     dscale = (s_gc * inv).astype(scale.dtype)
     dbias = s_g.astype(scale.dtype)
     A = inv * sc

@@ -50,21 +50,6 @@ def topk_accuracy(logits: Array, labels: Array, ks=(1, 5)) -> tuple[Array, ...]:
     )
 
 
-def mask_accuracy(logits: Array, target_mask: Array, ks=(1,)) -> tuple[Array, ...]:
-    """Reference utils/utils.py:95-109 calc_mask_accuracy: top-k accuracy
-    against a multi-hot target mask — a prediction is correct at k if ANY
-    of the top-k indices is a positive in ``target_mask`` (B, C) {0,1}.
-    (Defined but never called in the reference; provided for inventory
-    parity and for multi-positive eval protocols.)"""
-    maxk = min(max(ks), logits.shape[-1])
-    _, pred = jax.lax.top_k(logits, maxk)  # (B, maxk)
-    hit = jnp.take_along_axis(target_mask, pred, axis=1) > 0  # (B, maxk)
-    return tuple(
-        jnp.mean(jnp.any(hit[:, : min(k, maxk)], axis=1).astype(jnp.float32))
-        for k in ks
-    )
-
-
 def _loss_dict(prefix: str, logits: Array, loss: Array) -> dict[str, Array]:
     labels = jnp.zeros((logits.shape[0],), dtype=jnp.int32)
     return {

@@ -27,8 +27,8 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..aug.functional import batch_denorm
 from ..aug.pipeline import AugConfig, pretrain_batch
+from ..core.utils import batch_denorm
 from ..core.checkpoint import CheckpointStore, merge_matching_leaves
 from ..core.config import PRETRAIN_PRESETS, PretrainConfig
 from ..core.logging import get_logger
@@ -396,6 +396,13 @@ def visualize(cfg: PretrainConfig, n_samples: int = 4) -> list[str]:
     Weights come from ``cfg.run.pretrain`` (weights-only load) when set,
     otherwise fresh init. Needs a multi_level backbone (r21d). Returns the
     written file paths."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        raise RuntimeError(
+            "--visualize writes PNGs and needs pillow (without it the "
+            "writer falls back to .npy dumps and the returned paths would "
+            "be wrong)")
     init_distributed()
     exp_path = set_path(cfg)
     logger = get_logger(os.path.join(exp_path, "vis_log"),
@@ -429,7 +436,11 @@ def visualize(cfg: PretrainConfig, n_samples: int = 4) -> list[str]:
                            moco=st.moco)
         logger.info(f"=> visualizing weights from '{cfg.run.pretrain}'")
 
+    # same aug configuration as train() builds (pretrain.py:239-245) so the
+    # visualized inputs are the augmentations training actually sees
     aug_cfg = AugConfig(img_dim=cfg.data.img_dim, seq_len=cfg.data.seq_len,
+                        aug_temp_consist=cfg.aug.aug_temp_consist,
+                        aug_temp_grad_consist=cfg.aug.aug_temp_grad_consist,
                         jitter_order=cfg.aug.jitter_order,
                         fused=cfg.aug.fused_aug)
     block = pretrain_batch(jax.random.fold_in(rng, 1),

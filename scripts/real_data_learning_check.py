@@ -22,8 +22,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SEQ, IMG, H0, W0 = 8, 64, 80, 72
-VLEN = 40
+# dims overridable for the CPU-suite variant (tiny shapes; the hardware
+# record uses the defaults)
+SEQ = int(os.environ.get("RLC_SEQ", "8"))
+IMG = int(os.environ.get("RLC_IMG", "64"))
+H0 = IMG + 16
+W0 = IMG + 8
+VLEN = 5 * SEQ
 
 
 def write_tree(root: str, db: str, n_videos: int = 32):

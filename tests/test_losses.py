@@ -150,11 +150,12 @@ def test_calc_mask_accuracy():
 
 
 def test_mask_accuracy_matches_reference_semantics():
-    """mask_accuracy (reference utils/utils.py:95-109 calc_mask_accuracy):
-    correct at k iff any top-k index is a positive of the multi-hot mask."""
+    """calc_mask_accuracy (reference utils/utils.py:95-109): correct at k
+    iff any top-k index is a positive of the multi-hot mask — numpy oracle
+    on random data on top of the hand-case test above."""
     import numpy as np
 
-    from dualvar_tpu.models.ssl.losses import mask_accuracy
+    from dualvar_tpu.core.utils import calc_mask_accuracy as mask_accuracy
 
     logits = jnp.asarray([[9.0, 5.0, 1.0, 0.0],
                           [0.0, 1.0, 5.0, 9.0],

@@ -14,7 +14,8 @@ import numpy as np
 
 
 def test_batch_denorm_inverts_normalize():
-    from dualvar_tpu.aug.functional import batch_denorm, normalize
+    from dualvar_tpu.aug.functional import normalize
+    from dualvar_tpu.core.utils import batch_denorm
 
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 8, 3))
     y = batch_denorm(normalize(x))
