@@ -80,6 +80,12 @@ UNITS: dict[str, tuple[ModelConfig, tuple[int, ...]]] = {
     "moco_tsv4_r21d_packed": (
         dataclasses.replace(PRETRAIN_PRESETS["paper_table2_moco_r21d"].model,
                             packed_encode=True), (32, 16)),
+    # full perf mode: packed SR encode + the tile-aligned r21d variant
+    # (both documented non-parity levers) — the fastest honest flagship
+    # configuration
+    "simclr_tsv4_r21d_tiled_packed": (
+        dataclasses.replace(PRETRAIN_PRESETS["paper_table1_k400"].model,
+                            net="r21d_tiled", packed_encode=True), (32, 16)),
 }
 if SMOKE:
     UNITS = {name: (dataclasses.replace(cfg, moco_k=8, dtype="float32"), (2,))
