@@ -86,6 +86,9 @@ UNITS: dict[str, tuple[ModelConfig, tuple[int, ...]]] = {
     "simclr_tsv4_r21d_tiled_packed": (
         dataclasses.replace(PRETRAIN_PRESETS["paper_table1_k400"].model,
                             net="r21d_tiled", packed_encode=True), (32, 16)),
+    "moco_tsv4_r21d_tiled_packed": (
+        dataclasses.replace(PRETRAIN_PRESETS["paper_table2_moco_r21d"].model,
+                            net="r21d_tiled", packed_encode=True), (32, 16)),
 }
 if SMOKE:
     UNITS = {name: (dataclasses.replace(cfg, moco_k=8, dtype="float32"), (2,))

@@ -129,3 +129,22 @@ def test_task_layer_wires_packed_encode(rng):
         ret, _, _ = task.forward(t.params, t, block, jax.random.PRNGKey(7),
                                  train=True)
         assert np.isfinite(float(total_loss(ret))), model
+
+
+def test_simclr_tsv4_packed_eval_bitwise_on_tiled(rng):
+    """The perf-mode stack (packed_encode over the r21d_tiled backbone,
+    BENCH_OBJECTIVES simclr_tsv4_r21d_tiled_packed): packing must stay a
+    pure batching transform on the non-parity tiled widths too — eval-mode
+    outputs bitwise equal to the unpacked tiled model."""
+    block = jax.random.uniform(jax.random.PRNGKey(8), (2, 3, 4, 32, 32, 3))
+    base = SimCLRTimeSeriesV4(network="r21d_tiled", dtype=jnp.float32,
+                              packed_encode=False)
+    packed = SimCLRTimeSeriesV4(network="r21d_tiled", dtype=jnp.float32,
+                                packed_encode=True)
+    v = base.init({"params": rng, "shuffle": rng}, block, train=True)
+    k = jax.random.PRNGKey(9)
+    r0 = base.apply(v, block, train=False, rngs={"shuffle": k})
+    r1 = packed.apply(v, block, train=False, rngs={"shuffle": k})
+    assert set(r0) == set(r1)
+    for key in r0:
+        assert np.array_equal(np.asarray(r0[key]), np.asarray(r1[key])), key
